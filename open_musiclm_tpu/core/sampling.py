@@ -1,0 +1,73 @@
+"""Sampling primitives under ``jax.random``.
+
+Functional counterparts of the reference sampling helpers
+(reference: open_musiclm/utils.py:63-97). All shapes are static; the top-k
+cutoff is computed from the static vocab size so the whole sampler fuses into
+the autoregressive decode step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def log(t: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    return jnp.log(t + eps)
+
+
+def gumbel_noise(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    # matches reference: uniform(0,1) -> -log(-log(u))  (utils.py:71-73)
+    u = jax.random.uniform(key, shape, dtype=dtype, minval=0.0, maxval=1.0)
+    return -log(-log(u))
+
+
+def gumbel_sample(
+    key: jax.Array, logits: jnp.ndarray, temperature: float = 1.0, axis: int = -1
+) -> jnp.ndarray:
+    """argmax(logits/T + gumbel). temperature==0 falls back to greedy."""
+    if isinstance(temperature, (int, float)) and temperature == 0.0:
+        return jnp.argmax(logits, axis=axis)
+    noise = gumbel_noise(key, logits.shape, logits.dtype)
+    return jnp.argmax(logits / temperature + noise, axis=axis)
+
+
+def top_k_filter(logits: jnp.ndarray, thres: float = 0.9) -> jnp.ndarray:
+    """Keep top ``max(int((1-thres)*C), 1)`` logits, set the rest to -inf.
+
+    Static-k version of reference utils.py:78-84.
+    """
+    vocab = logits.shape[-1]
+    k = max(int((1.0 - thres) * vocab), 1)
+    vals, _ = jax.lax.top_k(logits, k)
+    kth = vals[..., -1:]
+    return jnp.where(logits < kth, jnp.full_like(logits, NEG_INF), logits)
+
+
+def sample_top_k_gumbel(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    temperature: float = 1.0,
+    filter_thres: float = 0.9,
+) -> jnp.ndarray:
+    return gumbel_sample(key, top_k_filter(logits, filter_thres), temperature)
+
+
+def mask_out_after_eos_id(
+    ids: jnp.ndarray, eos_id: int, mask_value: int = -1, keep_eos: bool = True
+) -> jnp.ndarray:
+    """Replace everything after (optionally including) the first EOS with
+    ``mask_value`` (reference utils.py:86-93)."""
+    eos_mask = (ids == eos_id).astype(jnp.int32)
+    if keep_eos:
+        eos_mask = jnp.pad(eos_mask, [(0, 0)] * (ids.ndim - 1) + [(1, 0)])[..., :-1]
+    after = jnp.cumsum(eos_mask, axis=-1) > 0
+    return jnp.where(after, mask_value, ids)
+
+
+def append_eos_id(ids: jnp.ndarray, eos_id: int) -> jnp.ndarray:
+    """Append an EOS column (reference utils.py:112-117)."""
+    eos = jnp.full(ids.shape[:-1] + (1,), eos_id, dtype=ids.dtype)
+    return jnp.concatenate([ids, eos], axis=-1)

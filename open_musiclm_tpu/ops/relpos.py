@@ -1,0 +1,125 @@
+"""Relative position biases.
+
+Two variants matching the reference capability surface:
+  * continuous MLP bias (reference transformer.py:36-67, from SwinV2)
+  * T5 bucketed bias (reference transformer.py:69-117)
+
+TPU-first design note: both biases are pure functions of the *distance*
+``d = i - j``. For training we materialize the [h, n, n] matrix once per
+forward (O(n) MLP evals gathered into the matrix, not O(n^2)). For KV-cached
+decode we precompute a ``[max_len, heads]`` causal distance table once per
+generation call; each decode step gathers its bias row from the table instead
+of rerunning the MLP.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ContinuousPositionBias(nn.Module):
+    """3-layer SiLU MLP: scalar distance -> per-head bias."""
+
+    dim: int
+    heads: int
+    num_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def mlp(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [..., 1] float distances
+        h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="in_layer")(x)
+        h = nn.silu(h)
+        for i in range(self.num_layers - 2):
+            h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name=f"mid_layer_{i}")(h)
+            h = nn.silu(h)
+        return nn.Dense(self.heads, use_bias=True, dtype=self.dtype, name="out_layer")(h)
+
+    def __call__(self, n: int) -> jnp.ndarray:
+        """Full bias matrix [heads, n, n] for training/prefill."""
+        dist = jnp.arange(-n + 1, n, dtype=self.dtype)[:, None]  # [2n-1, 1]
+        table = self.mlp(dist)  # [2n-1, heads]
+        i = jnp.arange(n)[:, None]
+        j = jnp.arange(n)[None, :]
+        rel = i - j + (n - 1)  # in [0, 2n-2]
+        bias = table[rel]  # [n, n, heads]
+        return jnp.transpose(bias, (2, 0, 1))
+
+    def distance_table(self, max_len: int) -> jnp.ndarray:
+        """Causal distance table [max_len, heads]; row d = bias at distance d."""
+        dist = jnp.arange(0, max_len, dtype=self.dtype)[:, None]
+        return self.mlp(dist)
+
+
+def t5_relative_bucket(
+    rel_pos: jnp.ndarray, causal: bool = True, num_buckets: int = 32, max_distance: int = 128
+) -> jnp.ndarray:
+    """Bucket ids for T5-style bias (reference transformer.py:85-105)."""
+    ret = jnp.zeros_like(rel_pos)
+    n = -rel_pos
+    if not causal:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5RelativePositionBias(nn.Module):
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+    causal: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def _embed(self, buckets: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=1.0),
+            (self.num_buckets, self.heads),
+            self.dtype,
+        )
+        return table[buckets]
+
+    def __call__(self, n: int) -> jnp.ndarray:
+        i = jnp.arange(n)[:, None]
+        j = jnp.arange(n)[None, :]
+        buckets = t5_relative_bucket(
+            i - j, causal=self.causal, num_buckets=self.num_buckets, max_distance=self.max_distance
+        )
+        bias = self._embed(buckets)  # [n, n, heads]
+        return jnp.transpose(bias, (2, 0, 1))
+
+    def distance_table(self, max_len: int) -> jnp.ndarray:
+        d = jnp.arange(max_len)[:, None]
+        buckets = t5_relative_bucket(
+            d, causal=self.causal, num_buckets=self.num_buckets, max_distance=self.max_distance
+        )[:, 0]
+        return self._embed(buckets)
+
+
+def make_bias(
+    kind: str, dim: int, heads: int, dtype=jnp.float32
+) -> Optional[nn.Module]:
+    if kind == "continuous":
+        return ContinuousPositionBias(dim=dim // 2, heads=heads, dtype=dtype)
+    if kind == "t5":
+        return T5RelativePositionBias(heads=heads, dtype=dtype)
+    if kind == "none":
+        return None
+    raise ValueError(f"invalid relative position bias type: {kind}")

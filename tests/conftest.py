@@ -1,0 +1,23 @@
+"""Test harness: force CPU backend with 8 virtual devices so multi-chip
+sharding (pjit over a Mesh) is exercised without TPU hardware.
+
+Must run before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override: driver env sets axon (TPU)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize pre-imports jax internals at interpreter startup, so
+# the env var alone may be latched too late; force the platform via config.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", False)
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
