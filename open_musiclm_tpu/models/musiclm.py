@@ -1,0 +1,277 @@
+"""MusicLM hierarchy: text -> semantic -> coarse -> fine -> waveform.
+
+TPU-native rebuild of reference ``MusicLM`` (open_musiclm.py:818-1071):
+  * CLAP text tokens condition every stage;
+  * semantic stage generates 50 Hz tokens in sliding windows with 50 %
+    overlap continuation (:938-949);
+  * coarse stage consumes 4 s semantic windows (199 tokens) and continues
+    from the previous window's last 150 coarse tokens, temp 0.95 (:956-984);
+  * fine stage consumes 2 s coarse windows, temp 0.4 (:996-1023);
+  * coarse+fine codes -> Encodec decode (:1032-1034);
+  * audio-prompt continuation (:896-926) and CLAP-similarity reranking
+    ``generate_top_match`` (:1039-1071).
+
+Every per-window generate call is a fixed-shape jitted KV-cached decode
+(models/stages.py); distinct window geometries compile once and are reused
+across windows, prompts and batch items.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.audio import prepare_audio, resample, int16_round_trip
+from .clap.clap import ClapQuantized
+from .encodec import EncodecModel
+from .hubert import HubertWithKmeans
+from .stages import Stage
+
+
+def unfold_windows(x: jnp.ndarray, window: int, step: int) -> jnp.ndarray:
+    """[b, L, q] -> [n, b, window, q] sliding windows (torch .unfold)."""
+    L = x.shape[1]
+    n = (L - window) // step + 1
+    idx = np.arange(n)[:, None] * step + np.arange(window)[None, :]
+    return jnp.transpose(x[:, idx], (1, 0, 2, 3))
+
+
+@dataclasses.dataclass
+class MusicLM:
+    """Full inference model. ``codec_params`` are the Encodec weights."""
+
+    clap: ClapQuantized
+    codec: EncodecModel
+    codec_params: Any
+    semantic_stage: Stage
+    coarse_stage: Stage
+    fine_stage: Stage
+    wav2vec: Optional[HubertWithKmeans] = None
+    tokenizer: Any = None  # host-side text tokenizer (clap.tokenizer)
+
+    def __post_init__(self):
+        self._decode = jax.jit(
+            lambda p, c: self.codec.apply(p, c, method=EncodecModel.decode)
+        )
+        self._encode = jax.jit(
+            lambda p, w: self.codec.apply(p, w, method=EncodecModel.encode)
+        )
+
+    # ---- tokenizers ----
+
+    def clap_tokens_from_text(self, text: List[str]) -> jnp.ndarray:
+        assert self.tokenizer is not None, "text path needs a tokenizer"
+        enc = self.tokenizer(text)
+        return self.clap.tokenize_text(
+            jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])
+        )
+
+    # ---- main generation (reference MusicLM.forward, :864-1035) ----
+
+    def generate(
+        self,
+        *,
+        key: jax.Array,
+        text: Optional[List[str]] = None,
+        clap_token_ids: Optional[jnp.ndarray] = None,
+        prime_wave: Optional[jnp.ndarray] = None,
+        prime_wave_sample_hz: Optional[int] = None,
+        output_seconds: float = 8,
+        semantic_window_seconds: int = 10,
+        coarse_window_seconds: int = 4,
+        fine_window_seconds: int = 2,
+        semantic_steps_per_second: int = 50,
+        acoustic_steps_per_second: int = 75,
+        return_coarse_generated_wave: bool = False,
+        semantic_sliding_window_step_percent: float = 0.5,
+        coarse_sliding_window_step_percent: float = 0.5,
+        fine_sliding_window_step_percent: float = 1.0,
+        semantic_temperature: float = 1.0,
+        coarse_temperature: float = 0.95,
+        fine_temperature: float = 0.4,
+    ) -> jnp.ndarray:
+        if clap_token_ids is None:
+            assert text is not None
+            clap_token_ids = self.clap_tokens_from_text(text)
+
+        keys = jax.random.split(key, 4)
+
+        # ---- audio-prompt continuation state (:888-926) ----
+        all_cond_coarse = all_cond_fine = None
+        cond_semantic = cond_coarse = cond_fine = None
+        semantic_adj = coarse_adj = fine_adj = 0
+        if prime_wave is not None:
+            assert prime_wave_sample_hz is not None and self.wav2vec is not None
+            wav_sem = prepare_audio(
+                prime_wave, prime_wave_sample_hz, self.wav2vec.target_sample_hz,
+                normalize=True, target_length_seconds=semantic_window_seconds,
+            )
+            wav_enc = prepare_audio(
+                prime_wave, prime_wave_sample_hz, self.codec.sample_rate,
+                normalize=False, target_length_seconds=semantic_window_seconds,
+            )
+            sem_ids = self.wav2vec(wav_sem)[..., None]  # [b, t, 1]
+            codes = self._encode(self.codec_params, wav_enc)
+            n_coarse = self.coarse_stage.model.specs[-1].num_quantizers
+            coarse_ids, fine_ids = codes[..., :n_coarse], codes[..., n_coarse:]
+
+            sem_len = int(
+                semantic_steps_per_second * semantic_window_seconds
+                * (1 - semantic_sliding_window_step_percent)
+            )
+            coarse_len = int(
+                acoustic_steps_per_second * coarse_window_seconds
+                * (1 - coarse_sliding_window_step_percent)
+            )
+            fine_len = int(
+                acoustic_steps_per_second * fine_window_seconds
+                * (1 - fine_sliding_window_step_percent)
+            )
+            all_cond_coarse, all_cond_fine = coarse_ids, fine_ids
+            cond_semantic = sem_ids[:, -sem_len:] if sem_ids.shape[1] >= sem_len else sem_ids
+            cond_coarse = coarse_ids[:, -coarse_len:]
+            cond_fine = fine_ids[:, -fine_len:] if fine_len > 0 else None
+            semantic_adj = sem_len - int(
+                semantic_steps_per_second * coarse_window_seconds
+                * (1 - coarse_sliding_window_step_percent)
+            )
+            coarse_adj = coarse_len - int(
+                acoustic_steps_per_second * fine_window_seconds
+                * (1 - fine_sliding_window_step_percent)
+            )
+            fine_adj = fine_len
+
+        # ---- semantic stage: sliding-window AR (:928-949) ----
+        first_T = int(
+            min(output_seconds, semantic_window_seconds) * semantic_steps_per_second
+        )
+        sem = self.semantic_stage.generate(
+            [clap_token_ids],
+            jax.random.fold_in(keys[0], 0),
+            max_time_steps=first_T,
+            init_pred_ids=cond_semantic,
+            temperature=semantic_temperature,
+        )  # [b, T, 1]
+        target_sem = int(output_seconds * semantic_steps_per_second)
+        win_i = 1
+        while sem.shape[1] < target_sem:
+            cond_len = int(
+                semantic_window_seconds * semantic_steps_per_second
+                * (1 - semantic_sliding_window_step_percent)
+            )
+            cont = self.semantic_stage.generate(
+                [clap_token_ids],
+                jax.random.fold_in(keys[0], win_i),
+                max_time_steps=int(semantic_window_seconds * semantic_steps_per_second),
+                init_pred_ids=sem[:, -cond_len:],
+                temperature=semantic_temperature,
+            )
+            sem = jnp.concatenate([sem, cont[:, cond_len:]], axis=1)
+            win_i += 1
+        sem = sem[:, semantic_adj:]
+
+        # ---- coarse stage over 4 s semantic windows (:954-984) ----
+        window = int(coarse_window_seconds * semantic_steps_per_second - 1)
+        step = int(window * coarse_sliding_window_step_percent)
+        sem_windows = unfold_windows(sem, window, step)
+
+        coarse = None
+        coarse_T = int(coarse_window_seconds * acoustic_steps_per_second)
+        coarse_cond_len = int(
+            coarse_window_seconds * acoustic_steps_per_second
+            * (1 - coarse_sliding_window_step_percent)
+        )
+        for wi in range(sem_windows.shape[0]):
+            init = coarse[:, -coarse_cond_len:] if coarse is not None else cond_coarse
+            pred = self.coarse_stage.generate(
+                [clap_token_ids, sem_windows[wi]],
+                jax.random.fold_in(keys[1], wi),
+                max_time_steps=coarse_T,
+                init_pred_ids=init,
+                temperature=coarse_temperature,
+            )  # [b, coarse_T, n_coarse]
+            if coarse is None:
+                coarse = pred
+            else:
+                coarse = jnp.concatenate([coarse, pred[:, coarse_cond_len:]], axis=1)
+
+        if return_coarse_generated_wave:
+            return self._decode(self.codec_params, coarse)
+
+        coarse = coarse[:, coarse_adj:]
+
+        # ---- fine stage over 2 s coarse windows (:994-1023) ----
+        fine_window = int(fine_window_seconds * acoustic_steps_per_second)
+        fine_step = int(fine_window * fine_sliding_window_step_percent)
+        coarse_windows = unfold_windows(coarse, fine_window, fine_step)
+        fine_cond_len = int(fine_window * (1 - fine_sliding_window_step_percent))
+
+        fine = None
+        for wi in range(coarse_windows.shape[0]):
+            if fine is not None:
+                init = fine[:, -fine_cond_len:] if fine_cond_len > 0 else None
+            else:
+                init = cond_fine
+            pred = self.fine_stage.generate(
+                [clap_token_ids, coarse_windows[wi]],
+                jax.random.fold_in(keys[2], wi),
+                max_time_steps=fine_window,
+                init_pred_ids=init,
+                temperature=fine_temperature,
+            )
+            if fine is None:
+                fine = pred
+            else:
+                fine = jnp.concatenate([fine, pred[:, fine_cond_len:]], axis=1)
+
+        fine = fine[:, fine_adj:]
+
+        if all_cond_coarse is not None and all_cond_fine is not None:
+            fine = jnp.concatenate([all_cond_fine, fine], axis=1)
+            coarse = jnp.concatenate([all_cond_coarse, coarse], axis=1)
+
+        # align lengths (unfold may drop a partial trailing window)
+        T = min(coarse.shape[1], fine.shape[1])
+        acoustic = jnp.concatenate([coarse[:, :T], fine[:, :T]], axis=-1)
+        return self._decode(self.codec_params, acoustic)
+
+    # ---- reranked generation (reference generate_top_match, :1039-1071) ----
+
+    def generate_top_match(
+        self,
+        *,
+        key: jax.Array,
+        text: List[str],
+        num_samples: int = 4,
+        num_top_matches: int = 1,
+        **kwargs,
+    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        all_samples, all_sims = [], []
+        for pi, prompt in enumerate(text):
+            enc = self.tokenizer([prompt])
+            ids = jnp.asarray(enc["input_ids"])
+            mask = jnp.asarray(enc["attention_mask"])
+            text_latent = self.clap.text_embedding(ids, mask)  # [1, 512]
+            clap_tokens = self.clap.quantize(text_latent)
+            clap_tokens = jnp.repeat(clap_tokens, num_samples, axis=0)
+
+            waves = self.generate(
+                key=jax.random.fold_in(key, pi), clap_token_ids=clap_tokens, **kwargs
+            )  # [num_samples, T]
+
+            clap_in = resample(waves, self.codec.sample_rate, self.clap.sample_rate)
+            clap_in = int16_round_trip(clap_in)
+            audio_latents = self.clap.audio_embedding(clap_in)  # [n, 512]
+            sim = jnp.sum(audio_latents * text_latent, axis=-1) / (
+                jnp.linalg.norm(audio_latents, axis=-1)
+                * jnp.linalg.norm(text_latent, axis=-1)
+                + 1e-12
+            )
+            top = jnp.argsort(-sim)[:num_top_matches]
+            all_sims.append(sim[top])
+            all_samples.append(waves[top])
+        return all_samples, all_sims

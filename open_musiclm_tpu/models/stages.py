@@ -1,0 +1,153 @@
+"""Stage definitions: semantic / coarse / fine transformers + bound tokenizers.
+
+Mirrors the reference factories and stage wrappers
+(open_musiclm.py:414-472, 514-815). A ``Stage`` binds a
+TokenConditionedTransformer's params to its loss config and provides
+shape-cached jitted entry points for training loss and KV-cached generation,
+so repeated sliding-window calls with the same geometry compile exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sequence import TokenSequenceSpec
+from .token_cond import (
+    StageLossConfig,
+    TokenConditionedTransformer,
+    generate,
+    stage_training_loss,
+)
+
+
+def create_semantic_transformer(
+    dim: int = 1024,
+    depth: int = 6,
+    clap_codebook_size: int = 1024,
+    semantic_codebook_size: int = 1024,
+    num_clap_quantizers: int = 12,
+    **kwargs,
+) -> TokenConditionedTransformer:
+    """Reference create_semantic_transformer (open_musiclm.py:414-428)."""
+    specs = (
+        TokenSequenceSpec(clap_codebook_size, num_clap_quantizers, False),
+        TokenSequenceSpec(semantic_codebook_size, 1, False),
+    )
+    return TokenConditionedTransformer(specs=specs, dim=dim, depth=depth, **kwargs)
+
+
+def create_coarse_transformer(
+    dim: int = 1024,
+    depth: int = 6,
+    clap_codebook_size: int = 1024,
+    semantic_codebook_size: int = 1024,
+    acoustic_codebook_size: int = 1024,
+    num_clap_quantizers: int = 12,
+    num_coarse_quantizers: int = 3,
+    **kwargs,
+) -> TokenConditionedTransformer:
+    """Reference create_coarse_transformer (open_musiclm.py:431-450)."""
+    specs = (
+        TokenSequenceSpec(clap_codebook_size, num_clap_quantizers, False),
+        TokenSequenceSpec(semantic_codebook_size, 1, False),
+        TokenSequenceSpec(acoustic_codebook_size, num_coarse_quantizers, False),
+    )
+    return TokenConditionedTransformer(specs=specs, dim=dim, depth=depth, **kwargs)
+
+
+def create_fine_transformer(
+    dim: int = 1024,
+    depth: int = 6,
+    clap_codebook_size: int = 1024,
+    acoustic_codebook_size: int = 1024,
+    num_clap_quantizers: int = 12,
+    num_coarse_quantizers: int = 3,
+    num_fine_quantizers: int = 5,
+    **kwargs,
+) -> TokenConditionedTransformer:
+    """Reference create_fine_transformer (open_musiclm.py:453-472)."""
+    specs = (
+        TokenSequenceSpec(clap_codebook_size, num_clap_quantizers, False),
+        TokenSequenceSpec(acoustic_codebook_size, num_coarse_quantizers, False),
+        TokenSequenceSpec(acoustic_codebook_size, num_fine_quantizers, False),
+    )
+    return TokenConditionedTransformer(specs=specs, dim=dim, depth=depth, **kwargs)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_generate(
+    model: TokenConditionedTransformer,
+    max_time_steps: int,
+    has_init: bool,
+    filter_thres: float,
+    temperature: float,
+    allow_eos_in_output: bool,
+    include_eos_in_output: bool,
+):
+    def fn(params, cond_ids, init_pred, key):
+        return generate(
+            model,
+            params,
+            list(cond_ids),
+            key,
+            max_time_steps=max_time_steps,
+            init_pred_ids=init_pred if has_init else None,
+            filter_thres=filter_thres,
+            temperature=temperature,
+            allow_eos_in_output=allow_eos_in_output,
+            include_eos_in_output=include_eos_in_output,
+        )
+
+    return jax.jit(fn)
+
+
+@dataclasses.dataclass
+class Stage:
+    """A trained stage: model + params + loss config."""
+
+    model: TokenConditionedTransformer
+    params: Any
+    loss_cfg: StageLossConfig
+    name: str = "stage"
+
+    def generate(
+        self,
+        conditioning_token_ids: Sequence[jnp.ndarray],
+        key: jax.Array,
+        *,
+        max_time_steps: int,
+        init_pred_ids: Optional[jnp.ndarray] = None,
+        filter_thres: float = 0.9,
+        temperature: float = 1.0,
+        allow_eos_in_output: bool = False,
+        include_eos_in_output: bool = False,
+    ) -> jnp.ndarray:
+        cond = tuple(jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids)
+        has_init = init_pred_ids is not None
+        fn = _jitted_generate(
+            self.model,
+            int(max_time_steps),
+            has_init,
+            float(filter_thres),
+            float(temperature),
+            bool(allow_eos_in_output),
+            bool(include_eos_in_output),
+        )
+        init = init_pred_ids if has_init else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
+        return fn(self.params, cond, init, key)
+
+    def loss(
+        self,
+        all_token_ids: Sequence[jnp.ndarray],
+        key: jax.Array,
+        *,
+        train: bool = True,
+    ):
+        return stage_training_loss(
+            self.model, self.params, list(all_token_ids), key, self.loss_cfg, train=train
+        )

@@ -1,0 +1,193 @@
+"""Full-pipeline MusicLM test with tiny components: text -> clap tokens ->
+sliding-window semantic -> coarse -> fine -> Encodec decode, plus
+top-match reranking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_musiclm_tpu.core.sequence import TokenSequenceSpec
+from open_musiclm_tpu.models.clap.clap import CLAP, ClapQuantized
+from open_musiclm_tpu.models.encodec import EncodecModel
+from open_musiclm_tpu.models.musiclm import MusicLM, unfold_windows
+from open_musiclm_tpu.models.stages import (
+    Stage,
+    create_coarse_transformer,
+    create_fine_transformer,
+    create_semantic_transformer,
+)
+from open_musiclm_tpu.models.rvq import rvq_init
+from open_musiclm_tpu.models.token_cond import StageLossConfig
+from tests.test_clap import TINY_AUDIO, TINY_TEXT
+
+CB = 16
+N_CLAP_Q = 4
+
+
+class FakeTokenizer:
+    def __call__(self, texts, max_length=8):
+        n = len(texts)
+        return {
+            "input_ids": np.zeros((n, 8), np.int32),
+            "attention_mask": np.ones((n, 8), np.int32),
+        }
+
+
+def make_stage(factory, key, **kw):
+    model = factory(
+        dim=32,
+        depth=1,
+        heads=2,
+        dim_head=8,
+        clap_codebook_size=CB,
+        num_clap_quantizers=N_CLAP_Q,
+        **kw,
+    )
+    lens = [4 * s.num_quantizers for s in model.specs]
+    ids = [jnp.zeros((1, n), jnp.int32) for n in lens]
+    params = model.init(key, ids)
+    weights = tuple(0.0 for _ in model.specs[:-1]) + (1.0,)
+    return Stage(model, params, StageLossConfig(cross_entropy_loss_weights=weights))
+
+
+@pytest.fixture(scope="module")
+def tiny_musiclm():
+    k = jax.random.PRNGKey(0)
+    clap_model = CLAP(audio_cfg=TINY_AUDIO, text_cfg=TINY_TEXT, joint_embed_shape=16)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    clap_params = clap_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, TINY_AUDIO.clip_samples)), ids, jnp.ones_like(ids)
+    )
+    clap = ClapQuantized(
+        model=clap_model,
+        params=clap_params,
+        rvq=rvq_init(N_CLAP_Q, CB, 16, jax.random.PRNGKey(2)),
+        num_quantizers=N_CLAP_Q,
+        codebook_size=CB,
+        sample_rate=TINY_AUDIO.sample_rate,
+        clip_samples=TINY_AUDIO.clip_samples,
+    )
+
+    codec = EncodecModel(
+        sample_rate=60, ratios=(2, 2), num_quantizers=4, codebook_size=CB,
+        dimension=8, n_filters=2,
+    )
+    codec_params = codec.init(jax.random.PRNGKey(3), jnp.zeros((1, 240)))
+
+    semantic = make_stage(
+        create_semantic_transformer, jax.random.PRNGKey(4), semantic_codebook_size=CB
+    )
+    coarse = make_stage(
+        create_coarse_transformer,
+        jax.random.PRNGKey(5),
+        semantic_codebook_size=CB,
+        acoustic_codebook_size=CB,
+        num_coarse_quantizers=2,
+    )
+    fine = make_stage(
+        create_fine_transformer,
+        jax.random.PRNGKey(6),
+        acoustic_codebook_size=CB,
+        num_coarse_quantizers=2,
+        num_fine_quantizers=2,
+    )
+    return MusicLM(
+        clap=clap,
+        codec=codec,
+        codec_params=codec_params,
+        semantic_stage=semantic,
+        coarse_stage=coarse,
+        fine_stage=fine,
+        tokenizer=FakeTokenizer(),
+    )
+
+
+def test_unfold_windows():
+    x = jnp.arange(20).reshape(1, 20, 1)
+    w = unfold_windows(x, 9, 4)
+    assert w.shape == (3, 1, 9, 1)
+    np.testing.assert_array_equal(np.asarray(w[1, 0, :, 0]), np.arange(4, 13))
+
+
+GEN_KW = dict(
+    output_seconds=3,
+    semantic_window_seconds=2,
+    coarse_window_seconds=1,
+    fine_window_seconds=1,
+    semantic_steps_per_second=10,
+    acoustic_steps_per_second=15,
+)
+
+
+def test_text_to_music_end_to_end(tiny_musiclm):
+    wave = tiny_musiclm.generate(
+        key=jax.random.PRNGKey(0), text=["warm synth chords"], **GEN_KW
+    )
+    assert wave.ndim == 2 and wave.shape[0] == 1
+    # acoustic length: coarse stitched to 15+8*n windows, aligned with fine
+    assert wave.shape[1] % 4 == 0  # hop multiple
+    assert wave.shape[1] >= 30 * 4  # at least target acoustic frames * hop
+    assert np.all(np.isfinite(np.asarray(wave)))
+
+
+def test_coarse_only_wave(tiny_musiclm):
+    wave = tiny_musiclm.generate(
+        key=jax.random.PRNGKey(1),
+        text=["drum loop"],
+        return_coarse_generated_wave=True,
+        **GEN_KW,
+    )
+    assert wave.ndim == 2 and np.all(np.isfinite(np.asarray(wave)))
+
+
+def test_generate_top_match(tiny_musiclm):
+    samples, sims = tiny_musiclm.generate_top_match(
+        key=jax.random.PRNGKey(2),
+        text=["piano", "guitar"],
+        num_samples=2,
+        num_top_matches=1,
+        **GEN_KW,
+    )
+    assert len(samples) == 2 and len(sims) == 2
+    assert samples[0].shape[0] == 1
+    assert sims[0].shape == (1,)
+    assert float(sims[0][0]) <= 1.0 + 1e-5
+
+
+def test_prime_wave_continuation(tiny_musiclm):
+    from open_musiclm_tpu.models.hubert import HubertConfig, HubertModel, HubertWithKmeans
+    import dataclasses
+
+    hcfg = HubertConfig(
+        conv_dim=(16,) * 7,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        conv_kernel=(4, 3, 2, 2, 1, 1, 1),
+        conv_stride=(2, 2, 2, 2, 1, 1, 1),
+    )
+    hmodel = HubertModel(cfg=hcfg)
+    hparams = hmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 64)))
+    wav2vec = HubertWithKmeans(
+        hmodel,
+        hparams,
+        jax.random.normal(jax.random.PRNGKey(1), (CB, 32)),
+        embed_layer=1,
+        target_sample_hz=160,  # 10 Hz tokens at stride 16
+        seq_len_multiple_of=16,
+        output_hz=10,
+    )
+    m = dataclasses.replace(tiny_musiclm, wav2vec=wav2vec)
+    prime = jax.random.normal(jax.random.PRNGKey(3), (1, 320)) * 0.1  # 2 s at 160 Hz
+    wave = m.generate(
+        key=jax.random.PRNGKey(4),
+        text=["continuation"],
+        prime_wave=prime,
+        prime_wave_sample_hz=160,
+        **GEN_KW,
+    )
+    assert wave.ndim == 2 and np.all(np.isfinite(np.asarray(wave)))
