@@ -1,0 +1,226 @@
+"""Single-stage trainer: pjit data-parallel train step over a device Mesh.
+
+TPU-native rebuild of reference ``SingleStageTrainer`` (trainer.py:111-560):
+  * DDP -> mesh data parallelism: batch sharded over the ``dp`` axis,
+    params/optimizer state replicated; XLA emits the gradient psum over ICI
+    (no NCCL/Accelerate); SURVEY.md 5.8.
+  * grad accumulation (trainer.py:428-441) -> a ``lax.scan`` over
+    microbatches INSIDE the jitted step, so accumulation costs no host
+    round trips;
+  * AdamW + warmup + global-norm clip 0.5 -> one optax chain;
+  * valid loss + token accuracy metrics (trainer.py:457-479);
+  * step-stamped checkpoint save/resume (trainer.py:359-413, 536-549) via
+    checkpoint.py.
+
+The trainer consumes *token* batches (the preprocessed-data path,
+trainer.py:244-268). On-the-fly tokenization from raw audio composes the
+frozen tokenizers (CLAP / HuBERT+kmeans / Encodec) in data/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.token_cond import (
+    StageLossConfig,
+    TokenConditionedTransformer,
+    stage_training_loss,
+)
+from ..parallel.mesh import DATA_AXIS, make_mesh, replicated, shard_batch_pytree
+from .optimizer import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def token_accuracy(logits, labels) -> jnp.ndarray:
+    """Fraction of argmax-correct predictions (valid metric,
+    trainer.py:457-479)."""
+    pred = jnp.argmax(logits, axis=-1)
+    return jnp.mean((pred == labels).astype(jnp.float32))
+
+
+@dataclasses.dataclass
+class StageTrainer:
+    """Train one stage on token batches.
+
+    ``batch`` layout per step: tuple of arrays [grad_accum, B, n_i] — the
+    leading axis is scanned (accumulation), B is sharded over dp.
+    """
+
+    model: TokenConditionedTransformer
+    loss_cfg: StageLossConfig
+    lr: float = 3e-4
+    wd: float = 1e-2
+    lr_warmup: int = 0
+    max_grad_norm: float = 0.5
+    grad_accum_every: int = 1
+    mesh: Any = None
+    results_folder: str = "./results"
+    save_model_every: int = 1000
+    save_results_every: int = 250
+    stage_name: str = "stage"
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self.optimizer = make_optimizer(
+            self.lr,
+            self.wd,
+            warmup_steps=self.lr_warmup,
+            max_grad_norm=self.max_grad_norm,
+        )
+        self._train_step = None
+        self._eval_step = None
+        Path(self.results_folder).mkdir(parents=True, exist_ok=True)
+        self._log_path = Path(self.results_folder) / f"{self.stage_name}.log.jsonl"
+
+    # ---- state ----
+
+    def init_state(self, params) -> TrainState:
+        state = TrainState(
+            params=params, opt_state=self.optimizer.init(params), step=jnp.zeros((), jnp.int32)
+        )
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(self.mesh)), state
+        )
+
+    # ---- compiled steps ----
+
+    def _build_train_step(self):
+        model, loss_cfg, optimizer = self.model, self.loss_cfg, self.optimizer
+
+        def loss_fn(params, ids, rng):
+            loss, _ = stage_training_loss(model, params, list(ids), rng, loss_cfg, train=True)
+            return loss
+
+        def step_fn(state: TrainState, batch: Tuple[jnp.ndarray, ...], rng):
+            accum = batch[0].shape[0]
+
+            def micro(carry, inp):
+                grads_acc, loss_acc = carry
+                ids, key = inp
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, ids, key)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            keys = jax.random.split(rng, accum)
+            (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), (batch, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_opt, state.step + 1)
+            return new_state, loss_sum / accum
+
+        batch_spec = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = replicated(self.mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, tuple(batch_spec for _ in self.model.specs), rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_eval_step(self):
+        model, loss_cfg = self.model, self.loss_cfg
+
+        def eval_fn(params, ids, rng):
+            loss, aux = stage_training_loss(
+                model, params, list(ids), rng, loss_cfg, train=False
+            )
+            # accuracy over the final (predicted) sequence
+            acc = token_accuracy(aux["logits"][-1], aux["labels"][-1])
+            return loss, acc
+
+        batch_spec = NamedSharding(self.mesh, P(DATA_AXIS))
+        rep = replicated(self.mesh)
+        return jax.jit(
+            eval_fn,
+            in_shardings=(rep, tuple(batch_spec for _ in self.model.specs), rep),
+            out_shardings=(rep, rep),
+        )
+
+    # ---- public API ----
+
+    def train_step(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
+        """batch: tuple of [accum, B, n_i] int arrays."""
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(None, DATA_AXIS))) for b in batch)
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(DATA_AXIS))) for b in batch)
+        return self._eval_step(state.params, batch, rng)
+
+    def log(self, step: int, **metrics):
+        rec = {"step": int(step), "time": time.time(), "stage": self.stage_name}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def checkpoint_path(self, step: int) -> str:
+        return str(
+            Path(self.results_folder) / f"{self.stage_name}.transformer.{step}.ckpt"
+        )
+
+    def save(self, state: TrainState, step: int):
+        from ..checkpoint import save_checkpoint
+
+        save_checkpoint(self.checkpoint_path(step), state._asdict())
+
+    def load(self, path: str, params_like) -> TrainState:
+        from ..checkpoint import load_checkpoint
+
+        like = TrainState(
+            params=params_like,
+            opt_state=self.optimizer.init(params_like),
+            step=jnp.zeros((), jnp.int32),
+        )._asdict()
+        tree = load_checkpoint(path, like)
+        state = TrainState(**tree)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(self.mesh)), state
+        )
+
+    def train(
+        self,
+        state: TrainState,
+        data_iter: Iterator[Tuple[jnp.ndarray, ...]],
+        *,
+        num_steps: int,
+        rng: jax.Array,
+        valid_iter: Optional[Iterator] = None,
+    ) -> TrainState:
+        """Reference train loop shape (trainer.py:415-560)."""
+        for _ in range(num_steps):
+            step = int(state.step)
+            batch = next(data_iter)
+            rng, krng = jax.random.split(rng)
+            state, loss = self.train_step(state, batch, krng)
+            self.log(step, train_loss=loss)
+            if valid_iter is not None and self.save_results_every and (
+                step % self.save_results_every == 0
+            ):
+                vb = next(valid_iter)
+                rng, vrng = jax.random.split(rng)
+                vloss, vacc = self.eval_step(state, vb, vrng)
+                self.log(step, valid_loss=vloss, valid_accuracy=vacc)
+            if self.save_model_every and step > 0 and step % self.save_model_every == 0:
+                self.save(state, step)
+        return state
