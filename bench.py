@@ -1,0 +1,107 @@
+"""End-to-end benchmark: text -> music throughput on one chip.
+
+Metric (BASELINE.json): audio-seconds generated per wall-second per chip for
+the full 3-stage musiclm_small pipeline (CLAP-conditioned semantic ->
+coarse -> fine -> Encodec decode), KV-cached decode, batched prompts.
+
+Baseline: the reference implementation has no published numbers
+(BASELINE.md); we normalize against 1.0x real time (one audio-second per
+wall-second), the natural floor for a generation system, so
+``vs_baseline == value``. The driver-set north star is >= 10x.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from open_musiclm_tpu.config import init_stage, load_model_config
+    from open_musiclm_tpu.models.encodec import create_encodec_24khz, EncodecModel
+    from open_musiclm_tpu.models.musiclm import MusicLM
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    output_seconds = float(os.environ.get("BENCH_SECONDS", "4"))
+
+    mc = load_model_config(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs/model/musiclm_small.json")
+    )
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    semantic = init_stage(mc, "semantic", jax.random.fold_in(k, 1), dtype=dtype)
+    coarse = init_stage(mc, "coarse", jax.random.fold_in(k, 2), dtype=dtype)
+    fine = init_stage(mc, "fine", jax.random.fold_in(k, 3), dtype=dtype)
+
+    codec = create_encodec_24khz(bandwidth=mc.encodec_cfg.bandwidth, codebook_size=mc.encodec_cfg.codebook_size)
+    codec_params = codec.init(jax.random.PRNGKey(4), jnp.zeros((1, 2400)))
+
+    musiclm = MusicLM(
+        clap=None,  # bench conditions on precomputed CLAP tokens
+        codec=codec,
+        codec_params=codec_params,
+        semantic_stage=semantic,
+        coarse_stage=coarse,
+        fine_stage=fine,
+    )
+
+    clap_tokens = jax.random.randint(
+        jax.random.PRNGKey(5),
+        (batch, mc.clap_rvq_cfg.rq_num_quantizers, 1),
+        0,
+        mc.clap_rvq_cfg.codebook_size,
+    )
+
+    import numpy as np
+
+    def run(key):
+        wave = musiclm.generate(
+            key=key,
+            clap_token_ids=clap_tokens,
+            output_seconds=output_seconds,
+            semantic_window_seconds=int(mc.global_cfg.semantic_audio_length_seconds),
+            coarse_window_seconds=int(mc.global_cfg.coarse_audio_length_seconds),
+            fine_window_seconds=int(mc.global_cfg.fine_audio_length_seconds),
+        )
+        # np.asarray forces a device->host sync; block_until_ready alone does
+        # not reliably wait under the axon remote backend
+        return np.asarray(wave)
+
+    # warmup (compiles every window geometry)
+    wave = run(jax.random.PRNGKey(10))
+
+    t0 = time.perf_counter()
+    wave = run(jax.random.PRNGKey(11))
+    dt = time.perf_counter() - t0
+
+    audio_seconds = wave.shape[0] * wave.shape[1] / codec.sample_rate
+    value = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "text-to-music end-to-end throughput (musiclm_small, 3-stage KV-cached decode + Encodec)",
+                "value": round(value, 4),
+                "unit": "audio-sec/wall-sec/chip",
+                "vs_baseline": round(value, 4),
+                "detail": {
+                    "batch": batch,
+                    "output_seconds": output_seconds,
+                    "audio_seconds_generated": round(float(audio_seconds), 2),
+                    "wall_seconds": round(dt, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
