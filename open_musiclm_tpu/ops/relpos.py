@@ -32,10 +32,13 @@ class ContinuousPositionBias(nn.Module):
 
     @nn.compact
     def mlp(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: [..., 1] float distances
+        # x: [..., 1] float distances. Reference structure (transformer.py:46-53):
+        # Seq(Linear(1,dim),SiLU) + (num_layers-1) x Seq(Linear(dim,dim),SiLU)
+        # + Linear(dim,heads) — note num_layers counts SiLU blocks, so
+        # num_layers=3 means FOUR linear layers total.
         h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="in_layer")(x)
         h = nn.silu(h)
-        for i in range(self.num_layers - 2):
+        for i in range(self.num_layers - 1):
             h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name=f"mid_layer_{i}")(h)
             h = nn.silu(h)
         return nn.Dense(self.heads, use_bias=True, dtype=self.dtype, name="out_layer")(h)
