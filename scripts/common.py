@@ -1,0 +1,58 @@
+"""Shared CLI plumbing for the scripts (reference scripts/train_utils.py)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--model_config", default=str(REPO_ROOT / "configs/model/musiclm_small.json"))
+    p.add_argument("--semantic_path", default=None)
+    p.add_argument("--coarse_path", default=None)
+    p.add_argument("--fine_path", default=None)
+    p.add_argument("--rvq_path", default=None)
+    p.add_argument("--kmeans_path", default=None)
+    p.add_argument("--clap_path", default=None, help="CLAP torch checkpoint bundle")
+    p.add_argument("--hubert_path", default=None, help="MERT/HuBERT torch state dict")
+    p.add_argument("--encodec_path", default=None, help="Encodec torch state dict")
+    p.add_argument("--tokenizer_path", default=None, help="dir with vocab.json+merges.txt")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+
+
+def add_training_args(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--training_config",
+        default=str(REPO_ROOT / "configs/training/train_musiclm_fma.json"),
+    )
+    p.add_argument("--results_folder", default="./results")
+    p.add_argument("--continue_from_dir", default=None)
+    p.add_argument("--fine_tune_from", default=None)
+
+
+def build_musiclm(args):
+    import jax.numpy as jnp
+
+    from open_musiclm_tpu.config import load_model_config
+    from open_musiclm_tpu.load import create_musiclm_from_config
+
+    mc = load_model_config(args.model_config)
+    return create_musiclm_from_config(
+        mc,
+        semantic_path=args.semantic_path,
+        coarse_path=args.coarse_path,
+        fine_path=args.fine_path,
+        rvq_path=args.rvq_path,
+        kmeans_path=args.kmeans_path,
+        clap_path=args.clap_path,
+        hubert_path=args.hubert_path,
+        encodec_path=args.encodec_path,
+        tokenizer_path=args.tokenizer_path,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        seed=args.seed,
+    ), mc

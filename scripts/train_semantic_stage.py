@@ -1,0 +1,11 @@
+"""Semantic-stage training (reference scripts/train_semantic_stage.py).
+Thin wrapper over train_stage.py --stage semantic."""
+
+import sys
+
+sys.argv.insert(1, "--stage")
+sys.argv.insert(2, "semantic")
+from train_stage import main  # noqa: E402
+
+if __name__ == "__main__":
+    main()
