@@ -41,6 +41,22 @@ def main():
     coarse = init_stage(mc, "coarse", jax.random.fold_in(k, 2), dtype=dtype)
     fine = init_stage(mc, "fine", jax.random.fold_in(k, 3), dtype=dtype)
 
+    if os.environ.get("BENCH_PARAM_DTYPE", "bf16") == "bf16":
+        # decode is weight-bandwidth-bound: bf16 weights halve HBM traffic
+        import dataclasses
+
+        def cast(p):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                p,
+            )
+
+        semantic = dataclasses.replace(semantic, params=cast(semantic.params))
+        coarse = dataclasses.replace(coarse, params=cast(coarse.params))
+        fine = dataclasses.replace(fine, params=cast(fine.params))
+
     codec = create_encodec_24khz(bandwidth=mc.encodec_cfg.bandwidth, codebook_size=mc.encodec_cfg.codebook_size)
     codec_params = codec.init(jax.random.PRNGKey(4), jnp.zeros((1, 2400)))
 

@@ -26,8 +26,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..ops.attention import l2norm, shared_kv_attention, shared_kv_decode_step
 from ..ops.relpos import make_bias
+
+
+def _pallas_attention_enabled() -> bool:
+    """Fused Pallas attention: on for TPU backends unless disabled via env."""
+    if os.environ.get("OPEN_MUSICLM_PALLAS", "1") != "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 class LayerNorm(nn.Module):
@@ -94,20 +106,29 @@ class Attention(nn.Module):
         h = self.norm(x)
         q, k, v = self._qkv(h)
         rng = None
-        if not deterministic and self.dropout > 0.0:
+        dropout_active = not deterministic and self.dropout > 0.0
+        if dropout_active:
             rng = self.make_rng("dropout")
-        out = shared_kv_attention(
-            q,
-            k,
-            v,
-            scale=self.scale,
-            attn_bias=attn_bias,
-            key_mask=key_mask,
-            causal=True,
-            non_causal_prefix=self.non_causal_prefix,
-            dropout_rate=self.dropout if not deterministic else 0.0,
-            dropout_rng=rng,
-        )
+        if not dropout_active and _pallas_attention_enabled():
+            from ..ops.pallas_attention import shared_kv_attention_fused
+
+            out = shared_kv_attention_fused(
+                q, k, v, attn_bias, key_mask,
+                float(self.scale), True, int(self.non_causal_prefix), 256, False,
+            )
+        else:
+            out = shared_kv_attention(
+                q,
+                k,
+                v,
+                scale=self.scale,
+                attn_bias=attn_bias,
+                key_mask=key_mask,
+                causal=True,
+                non_causal_prefix=self.non_causal_prefix,
+                dropout_rate=self.dropout if not deterministic else 0.0,
+                dropout_rng=rng,
+            )
         out = self.to_out(out)
         if not deterministic and self.dropout > 0.0:
             out = nn.Dropout(self.dropout, deterministic=False)(out, rng=self.make_rng("dropout"))
