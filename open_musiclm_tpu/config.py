@@ -273,10 +273,10 @@ def build_encodec(mc: MusicLMModelConfig, dtype=jnp.float32) -> EncodecModel:
 
 
 def build_clap(mc: MusicLMModelConfig, dtype=jnp.float32) -> CLAP:
-    assert not mc.clap_rvq_cfg.enable_fusion, (
-        "fusion CLAP (musiclm_large) not yet implemented in the TPU build"
+    audio_cfg = HTSATConfig(
+        enable_fusion=mc.clap_rvq_cfg.enable_fusion, fusion_type="aff_2d"
     )
-    return CLAP(audio_cfg=HTSATConfig(), text_cfg=RobertaConfig(), dtype=dtype)
+    return CLAP(audio_cfg=audio_cfg, text_cfg=RobertaConfig(), dtype=dtype)
 
 
 def build_hubert(mc: MusicLMModelConfig, dtype=jnp.float32) -> HubertModel:

@@ -92,6 +92,15 @@ class CLAP(nn.Module):
         emb = self.audio_projection(out["embedding"])
         return l2_normalize(emb)
 
+    def get_audio_embedding_fusion(
+        self, mel_fusion: jnp.ndarray, longer: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Fusion-mode audio path for >10 s clips (hook.py:164-254):
+        mel_fusion [B, 4, frames, mels], longer [B] bool."""
+        out = self.audio_branch(mel_fusion=mel_fusion, longer=longer)
+        emb = self.audio_projection(out["embedding"])
+        return l2_normalize(emb)
+
     def get_text_embedding(
         self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray
     ) -> jnp.ndarray:

@@ -233,7 +233,11 @@ class HTSATConfig:
         fmin: float = 50.0,
         fmax: float = 14000.0,
         clip_samples: int = 480000,
+        enable_fusion: bool = False,
+        fusion_type: str = "aff_2d",
     ):
+        self.enable_fusion = enable_fusion
+        self.fusion_type = fusion_type
         self.spec_size = spec_size
         self.patch_size = patch_size
         self.patch_stride = patch_stride
@@ -263,19 +267,72 @@ class HTSAT(nn.Module):
     def _cfg(self) -> HTSATConfig:
         return self.cfg if self.cfg is not None else HTSATConfig()
 
+    def _fusion_patch_embed(self, imgs, longer, train):
+        """Fusion-mode patch embed (reference htsat.py:100-133, aff_2d family):
+        global channel 0 through the standard patch conv; local channels 1..3
+        through mel_conv2d (kernel (P, 3P), stride (S, 3S)), concatenated
+        along width and attentionally fused into the global patches for
+        `longer` clips. Fixed-shape SPMD style: both branches always compute;
+        `longer` selects per example."""
+        from .fusion import make_fusion
+
+        cfg = self._cfg()
+        B, C, H, W = imgs.shape
+        global_x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=cfg.patch_stride,
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(imgs[:, 0][..., None])  # [B, H/P, W/P, E]
+        TW = global_x.shape[2]
+
+        local = imgs[:, 1:].reshape(B * (C - 1), H, W)[..., None]
+        local = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size * 3),
+            strides=(cfg.patch_stride[0], cfg.patch_stride[1] * 3),
+            padding="VALID",
+            dtype=self.dtype,
+            name="mel_conv2d",
+        )(local)  # [B*3, H/P, W/(3S), E]
+        hh, ww = local.shape[1], local.shape[2]
+        local = local.reshape(B, C - 1, hh, ww, cfg.embed_dim)
+        # concat the chunks along width (torch permute(0,2,3,1,4)+flatten)
+        local = local.transpose(0, 2, 1, 3, 4).reshape(B, hh, (C - 1) * ww, cfg.embed_dim)
+        if local.shape[2] < TW:
+            local = jnp.pad(local, ((0, 0), (0, 0), (0, TW - local.shape[2]), (0, 0)))
+        else:
+            local = local[:, :, :TW]
+
+        fused = make_fusion(cfg.fusion_type, cfg.embed_dim, dtype=self.dtype)(
+            global_x, local, train=train
+        )
+        if longer is None:
+            longer = jnp.ones((B,), bool)
+        return jnp.where(longer[:, None, None, None], fused, global_x)
+
     @nn.compact
     def __call__(
         self,
         wav: Optional[jnp.ndarray] = None,
         *,
         mel: Optional[jnp.ndarray] = None,
+        mel_fusion: Optional[jnp.ndarray] = None,  # [B, 4, T, F]
+        longer: Optional[jnp.ndarray] = None,  # [B] bool: clip was > 10 s
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ):
-        """Pass `wav` [B, T] (the normal path) or a precomputed log-mel
-        `mel` [B, frames, mel_bins] (pre-bn0)."""
+        """Pass `wav` [B, T] (the normal path), a precomputed log-mel
+        `mel` [B, frames, mel_bins] (pre-bn0), or — in fusion mode — a
+        `mel_fusion` [B, 4, frames, mel_bins] stack + `longer` mask
+        (htsat.py:866-934 fusion branch)."""
         cfg = self._cfg()
-        if mel is None:
+        fusion = cfg.enable_fusion and mel_fusion is not None
+        if fusion:
+            mel = mel_fusion  # [B, 4, T, F]
+        elif mel is None:
             assert wav is not None
             mel = logmel(
                 wav,
@@ -293,32 +350,40 @@ class HTSAT(nn.Module):
             dtype=self.dtype,
             name="bn0",
         )(mel)
-        if train and rng is not None:
+        if train and rng is not None and not fusion:
             mel = spec_augment(rng, mel)
         fr = cfg.freq_ratio
         target_T = cfg.spec_size * fr
         target_F = cfg.spec_size // fr
-        B = mel.shape[0]
-        # reshape_wav2img (htsat.py:833-848)
-        x = bicubic_resize_axis_align_corners(mel, target_T, axis=1)
-        if mel.shape[2] < target_F:
-            x = bicubic_resize_axis_align_corners(x, target_F, axis=2)
-        # [B, T, F] -> image rows = chunk*F + f, cols = time within chunk
-        x = x.transpose(0, 2, 1)  # [B, F, T]
-        x = x.reshape(B, target_F, fr, target_T // fr)  # time split: chunk major
-        x = x.transpose(0, 2, 1, 3)  # [B, fr, F, T/fr]
-        img = x.reshape(B, fr * target_F, target_T // fr)[..., None]  # [B, H, W, 1]
 
-        # patch embed (conv 4x4 stride 4) + LN
-        h = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=cfg.patch_stride,
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(img)
+        def fold(m):
+            # reshape_wav2img (htsat.py:833-848): [B, T, F] -> [B, H, W]
+            Bm = m.shape[0]
+            x = bicubic_resize_axis_align_corners(m, target_T, axis=1)
+            if m.shape[2] < target_F:
+                x = bicubic_resize_axis_align_corners(x, target_F, axis=2)
+            x = x.transpose(0, 2, 1)  # [B, F, T]
+            x = x.reshape(Bm, target_F, fr, target_T // fr)
+            x = x.transpose(0, 2, 1, 3)  # [B, fr, F, T/fr]
+            return x.reshape(Bm, fr * target_F, target_T // fr)
+
         grid = (cfg.spec_size // cfg.patch_stride[0], cfg.spec_size // cfg.patch_stride[1])
+        if fusion:
+            B, C = mel.shape[0], mel.shape[1]
+            imgs = fold(mel.reshape(B * C, mel.shape[2], mel.shape[3]))
+            imgs = imgs.reshape(B, C, imgs.shape[1], imgs.shape[2])
+            h = self._fusion_patch_embed(imgs, longer, train)
+        else:
+            B = mel.shape[0]
+            img = fold(mel)[..., None]  # [B, H, W, 1]
+            h = nn.Conv(
+                cfg.embed_dim,
+                kernel_size=(cfg.patch_size, cfg.patch_size),
+                strides=cfg.patch_stride,
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed",
+            )(img)
         h = h.reshape(B, grid[0] * grid[1], cfg.embed_dim)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(h)
 
