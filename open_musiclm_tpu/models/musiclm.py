@@ -210,23 +210,46 @@ class MusicLM:
         coarse_windows = unfold_windows(coarse, fine_window, fine_step)
         fine_cond_len = int(fine_window * (1 - fine_sliding_window_step_percent))
 
-        fine = None
-        for wi in range(coarse_windows.shape[0]):
-            if fine is not None:
-                init = fine[:, -fine_cond_len:] if fine_cond_len > 0 else None
-            else:
-                init = cond_fine
-            pred = self.fine_stage.generate(
-                [clap_token_ids, coarse_windows[wi]],
-                jax.random.fold_in(keys[2], wi),
-                max_time_steps=fine_window,
-                init_pred_ids=init,
-                temperature=fine_temperature,
+        n_windows = coarse_windows.shape[0]
+        if fine_cond_len == 0 and cond_fine is None and n_windows > 1:
+            # non-overlapping fine windows are independent given coarse+clap:
+            # run them as ONE batched decode ([n_windows*b]) instead of the
+            # reference's sequential loop (open_musiclm.py:1002-1023) —
+            # sequential decode steps drop from n_windows*T*Q to T*Q.
+            b = clap_token_ids.shape[0]
+            clap_rep = jnp.tile(
+                clap_token_ids.reshape(b, -1), (n_windows, 1)
             )
-            if fine is None:
-                fine = pred
-            else:
-                fine = jnp.concatenate([fine, pred[:, fine_cond_len:]], axis=1)
+            coarse_flat = coarse_windows.reshape(
+                n_windows * b, coarse_windows.shape[2], coarse_windows.shape[3]
+            )
+            pred = self.fine_stage.generate(
+                [clap_rep, coarse_flat],
+                keys[2],
+                max_time_steps=fine_window,
+                temperature=fine_temperature,
+            )  # [n_windows*b, T, q]
+            q = pred.shape[-1]
+            pred = pred.reshape(n_windows, b, fine_window, q)
+            fine = jnp.concatenate([pred[w] for w in range(n_windows)], axis=1)
+        else:
+            fine = None
+            for wi in range(n_windows):
+                if fine is not None:
+                    init = fine[:, -fine_cond_len:] if fine_cond_len > 0 else None
+                else:
+                    init = cond_fine
+                pred = self.fine_stage.generate(
+                    [clap_token_ids, coarse_windows[wi]],
+                    jax.random.fold_in(keys[2], wi),
+                    max_time_steps=fine_window,
+                    init_pred_ids=init,
+                    temperature=fine_temperature,
+                )
+                if fine is None:
+                    fine = pred
+                else:
+                    fine = jnp.concatenate([fine, pred[:, fine_cond_len:]], axis=1)
 
         fine = fine[:, fine_adj:]
 
