@@ -90,12 +90,14 @@ class StageTrainer:
     # ---- state ----
 
     def init_state(self, params) -> TrainState:
-        state = TrainState(
-            params=params, opt_state=self.optimizer.init(params), step=jnp.zeros((), jnp.int32)
-        )
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(self.mesh)), state
-        )
+        from ..parallel.sharding import shard_params
+
+        # dp: replicate; tp>1: rule-based tensor-parallel sharding. The optax
+        # state is built FROM the sharded params, so mu/nu inherit shardings.
+        params = shard_params(self.mesh, params)
+        opt_state = self.optimizer.init(params)
+        step = jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh))
+        return TrainState(params=params, opt_state=opt_state, step=step)
 
     # ---- compiled steps ----
 
@@ -125,14 +127,10 @@ class StageTrainer:
             new_state = TrainState(new_params, new_opt, state.step + 1)
             return new_state, loss_sum / accum
 
-        batch_spec = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        rep = replicated(self.mesh)
-        return jax.jit(
-            step_fn,
-            in_shardings=(rep, tuple(batch_spec for _ in self.model.specs), rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
+        # shardings are inferred from the committed input arrays (params via
+        # shard_params, batch via device_put in train_step) so the same step
+        # serves dp-only and dp x tp meshes
+        return jax.jit(step_fn, donate_argnums=(0,))
 
     def _build_eval_step(self):
         model, loss_cfg = self.model, self.loss_cfg
@@ -145,13 +143,7 @@ class StageTrainer:
             acc = token_accuracy(aux["logits"][-1], aux["labels"][-1])
             return loss, acc
 
-        batch_spec = NamedSharding(self.mesh, P(DATA_AXIS))
-        rep = replicated(self.mesh)
-        return jax.jit(
-            eval_fn,
-            in_shardings=(rep, tuple(batch_spec for _ in self.model.specs), rep),
-            out_shardings=(rep, rep),
-        )
+        return jax.jit(eval_fn)
 
     # ---- public API ----
 
