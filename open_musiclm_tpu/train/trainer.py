@@ -198,14 +198,22 @@ class StageTrainer:
         num_steps: int,
         rng: jax.Array,
         valid_iter: Optional[Iterator] = None,
+        artifact_fn: Optional[Callable] = None,
     ) -> TrainState:
-        """Reference train loop shape (trainer.py:415-560)."""
+        """Reference train loop shape (trainer.py:415-560). ``artifact_fn``
+        (state, valid_batch, step) dumps qualitative artifacts at the
+        save_results cadence (train/artifacts.py)."""
+        from ..profiling import StepTimer
+
+        timer = StepTimer()
         for _ in range(num_steps):
             step = int(state.step)
             batch = next(data_iter)
             rng, krng = jax.random.split(rng)
-            state, loss = self.train_step(state, batch, krng)
-            self.log(step, train_loss=loss)
+            with timer:
+                state, loss = self.train_step(state, batch, krng)
+                loss.block_until_ready()
+            self.log(step, train_loss=loss, step_time_s=timer.last_s)
             if valid_iter is not None and self.save_results_every and (
                 step % self.save_results_every == 0
             ):
@@ -213,6 +221,8 @@ class StageTrainer:
                 rng, vrng = jax.random.split(rng)
                 vloss, vacc = self.eval_step(state, vb, vrng)
                 self.log(step, valid_loss=vloss, valid_accuracy=vacc)
+                if artifact_fn is not None:
+                    artifact_fn(state, vb, step)
             if self.save_model_every and step > 0 and step % self.save_model_every == 0:
                 self.save(state, step)
         return state
