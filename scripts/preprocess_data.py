@@ -16,6 +16,11 @@ def main():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--replace_existing", action="store_true")
+    p.add_argument(
+        "--filter_fma", action="store_true",
+        help="drop low-engagement FMA experimental-genre tracks "
+        "(reference scripts/preprocess_data.py:44-62)",
+    )
     args = p.parse_args()
 
     from open_musiclm_tpu.config import load_model_config, load_training_config
@@ -25,6 +30,13 @@ def main():
     tc = load_training_config(args.training_config)
     cfg = tc.data_preprocessor_cfg
     musiclm, _ = build_musiclm(args)
+
+    ignore_files = None
+    if args.filter_fma:
+        from open_musiclm_tpu.data.fma import fma_ignore_files
+
+        ignore_files = fma_ignore_files(cfg.metadata_folder)
+        print(f"filtering {len(ignore_files)} FMA experimental tracks")
 
     pre = DataPreprocessor(
         clap=musiclm.clap,
@@ -43,6 +55,7 @@ def main():
         replace_existing=args.replace_existing,
         rank=args.rank,
         world=args.world,
+        ignore_files=ignore_files,
     )
     n = pre.process(progress=lambda i, total: print(f"{i}/{total}", end="\r"))
     print(f"\nwrote {n} rows")

@@ -206,3 +206,19 @@ def test_preprocessor_end_to_end(tmp_path, wav_folder):
     assert clap_t.shape[1] == 4  # rvq quantizers
     assert coarse_t.shape[-1] == 3 and fine_t.shape[-1] == 5
     assert sem_t.ndim == 2
+
+
+def test_fma_ignore_files(tmp_path):
+    from open_musiclm_tpu.data.fma import fma_ignore_files
+
+    csv_text = (
+        ",album,track,track,track\n"
+        "track_id,title,genres_all,listens,favorites\n"
+        "1,a,\"[38, 2]\",500,1\n"       # experimental + low listens -> ignored
+        "2,b,\"[38]\",5000,100\n"        # experimental but popular -> kept
+        "3,c,\"[10]\",10,0\n"            # not experimental -> kept
+        "4,d,\"[1, 38]\",2000,3\n"       # experimental + low favorites -> ignored
+    )
+    (tmp_path / "tracks.csv").write_text(csv_text)
+    ignore = fma_ignore_files(str(tmp_path))
+    assert ignore == ["000001.mp3", "000004.mp3"]
