@@ -29,7 +29,7 @@ def main():
     from open_musiclm_tpu.models.encodec import create_encodec_24khz, EncodecModel
     from open_musiclm_tpu.models.musiclm import MusicLM
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     output_seconds = float(os.environ.get("BENCH_SECONDS", "4"))
 
     mc = load_model_config(
