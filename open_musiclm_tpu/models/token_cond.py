@@ -56,6 +56,7 @@ class TokenConditionedTransformer(nn.Module):
     relative_position_bias_type: str = "continuous"
     use_absolute_position_embeddings: bool = False
     max_absolute_position_embeddings: int = 262
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -108,6 +109,7 @@ class TokenConditionedTransformer(nn.Module):
             grad_shrink_alpha=self.grad_shrink_alpha,
             non_causal_prefix_size=self.non_causal_prefix_size,
             relative_position_bias_type=self.relative_position_bias_type,
+            remat=self.remat,
             dtype=self.dtype,
             name="transformer",
         )

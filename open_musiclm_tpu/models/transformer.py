@@ -272,16 +272,19 @@ class Transformer(nn.Module):
     relative_position_bias_type: str = "continuous"
     attn_scale: float = 8.0
     ff_mult: int = 4
+    remat: bool = False  # jax.checkpoint per block: trade FLOPs for memory
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.rel_pos_bias = make_bias(
             self.relative_position_bias_type, self.dim, self.heads, dtype=self.dtype
         )
+        attn_cls = Attention
+        ff_wrapped = ConvFeedForward if self.use_conv_ff else FeedForward
         attns, ffs = [], []
         for i in range(self.depth):
             attns.append(
-                Attention(
+                attn_cls(
                     dim=self.dim,
                     heads=self.heads,
                     dim_head=self.dim_head,
@@ -292,9 +295,8 @@ class Transformer(nn.Module):
                     name=f"attn_{i}",
                 )
             )
-            ff_cls = ConvFeedForward if self.use_conv_ff else FeedForward
             ffs.append(
-                ff_cls(
+                ff_wrapped(
                     dim=self.dim,
                     mult=self.ff_mult,
                     dropout=self.ff_dropout,
@@ -321,11 +323,28 @@ class Transformer(nn.Module):
         n = x.shape[1]
         x = grad_shrink(x, self.grad_shrink_alpha)
         bias = self.rel_pos_bias(n) if self.rel_pos_bias is not None else None
-        for attn, ff in zip(self.attns, self.ffs):
-            x = attn(
-                x, attn_bias=bias, key_mask=self_attn_mask, deterministic=deterministic
-            ) + x
-            x = ff(x, deterministic=deterministic) + x
+
+        if self.remat:
+            # jax.checkpoint per block; `deterministic` stays static via the
+            # closures (flax traces positional remat args)
+            def attn_apply(mdl, h, b, km):
+                return mdl(h, attn_bias=b, key_mask=km, deterministic=deterministic)
+
+            def ff_apply(mdl, h):
+                return mdl(h, deterministic=deterministic)
+
+            attn_apply = nn.remat(attn_apply)
+            ff_apply = nn.remat(ff_apply)
+            for attn, ff in zip(self.attns, self.ffs):
+                x = attn_apply(attn, x, bias, self_attn_mask) + x
+                x = ff_apply(ff, x) + x
+        else:
+            for attn, ff in zip(self.attns, self.ffs):
+                x = attn(
+                    x, attn_bias=bias, key_mask=self_attn_mask,
+                    deterministic=deterministic,
+                ) + x
+                x = ff(x, deterministic=deterministic) + x
         return self.final_norm(x)
 
     # ---- KV-cached decode path ----

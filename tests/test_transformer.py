@@ -152,3 +152,20 @@ def test_ff_variants():
         params = model.init(jax.random.PRNGKey(0), x)
         y = model.apply(params, x)
         assert y.shape == x.shape
+
+
+def test_remat_preserves_values_and_grads():
+    """jax.checkpoint per block: same forward values and gradients."""
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 10, 64))
+    base = make_model()
+    remat = make_model(remat=True)
+    params = base.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, x) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
