@@ -32,7 +32,7 @@ def test_generation_deterministic_across_runs():
     runs = [
         np.asarray(
             generate(model, params, cond, jax.random.PRNGKey(7),
-                     max_time_steps=5, temperature=0.8)
+                     max_time_steps=5, temperature=0.8, filter_thres=0.5)
         )
         for _ in range(2)
     ]
@@ -40,7 +40,7 @@ def test_generation_deterministic_across_runs():
     # different key -> (almost surely) different samples
     other = np.asarray(
         generate(model, params, cond, jax.random.PRNGKey(8),
-                 max_time_steps=5, temperature=0.8)
+                 max_time_steps=5, temperature=0.8, filter_thres=0.5)
     )
     assert not np.array_equal(runs[0], other)
 
