@@ -58,3 +58,45 @@ def test_annotate_context():
     with annotate("test-region"):
         x = jnp.ones(4) + 1
     assert float(x.sum()) == 8.0
+
+
+def test_clap_module_hook(tmp_path):
+    import jax.numpy as jnp
+    from open_musiclm_tpu.models.clap.clap import CLAP
+    from open_musiclm_tpu.models.clap.hook import ClapModule
+    from open_musiclm_tpu.data.audio_io import write_wav
+    from tests.test_clap import TINY_AUDIO, TINY_TEXT
+
+    class FakeTok:
+        def __call__(self, texts, max_length=8):
+            n = len(texts)
+            return {
+                "input_ids": np.zeros((n, 8), np.int32),
+                "attention_mask": np.ones((n, 8), np.int32),
+            }
+
+    model = CLAP(audio_cfg=TINY_AUDIO, text_cfg=TINY_TEXT, joint_embed_shape=16)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, TINY_AUDIO.clip_samples)), ids,
+        jnp.ones_like(ids),
+    )
+    hook = ClapModule(
+        model=model, params=params, tokenizer=FakeTok(),
+        sample_rate=TINY_AUDIO.sample_rate, clip_samples=TINY_AUDIO.clip_samples,
+    )
+    t_emb = hook.get_text_embedding(["piano", "drums"])
+    assert t_emb.shape == (2, 16)
+    a_emb = hook.get_audio_embedding_from_data(
+        np.random.RandomState(0).randn(2, 3000).astype(np.float32) * 0.1
+    )
+    assert a_emb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(a_emb), axis=-1), 1.0, atol=1e-5)
+
+    # file-list path
+    wav = (0.2 * np.random.RandomState(1).randn(4000)).astype(np.float32)
+    write_wav(str(tmp_path / "a.wav"), wav, TINY_AUDIO.sample_rate)
+    f_emb = hook.get_audio_embedding_from_filelist([str(tmp_path / "a.wav")])
+    assert f_emb.shape == (1, 16)
+    sim = hook.cosine_similarity(t_emb[:1], f_emb)
+    assert -1.01 <= float(sim[0]) <= 1.01
