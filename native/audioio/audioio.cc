@@ -276,3 +276,498 @@ int aio_write_wav(const char* path, const float* data, long frames, int channels
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MP3 decode via libmpg123 (dlopen'd — no headers/link-time dep needed).
+// Covers the FMA dataset (reference data.py exts; FMA ships mp3).
+// ---------------------------------------------------------------------------
+
+#include <dlfcn.h>
+
+namespace {
+
+struct Mpg123Api {
+  void* lib = nullptr;
+  int (*init)() = nullptr;
+  void* (*make)(const char*, int*) = nullptr;
+  int (*open)(void*, const char*) = nullptr;
+  int (*getformat)(void*, long*, int*, int*) = nullptr;
+  int (*format_none)(void*) = nullptr;
+  int (*format)(void*, long, int, int) = nullptr;
+  int (*read)(void*, void*, size_t, size_t*) = nullptr;
+  int (*close)(void*) = nullptr;
+  void (*del)(void*) = nullptr;
+
+  bool ok() const { return lib != nullptr; }
+};
+
+const Mpg123Api& mpg123() {
+  static Mpg123Api api = [] {
+    Mpg123Api a;
+    void* h = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (!h) return a;
+    a.init = (int (*)())dlsym(h, "mpg123_init");
+    a.make = (void* (*)(const char*, int*))dlsym(h, "mpg123_new");
+    a.open = (int (*)(void*, const char*))dlsym(h, "mpg123_open");
+    a.getformat = (int (*)(void*, long*, int*, int*))dlsym(h, "mpg123_getformat");
+    a.format_none = (int (*)(void*))dlsym(h, "mpg123_format_none");
+    a.format = (int (*)(void*, long, int, int))dlsym(h, "mpg123_format");
+    a.read = (int (*)(void*, void*, size_t, size_t*))dlsym(h, "mpg123_read");
+    a.close = (int (*)(void*))dlsym(h, "mpg123_close");
+    a.del = (void (*)(void*))dlsym(h, "mpg123_delete");
+    if (a.make && a.open && a.getformat && a.format && a.read && a.close) {
+      if (a.init) a.init();
+      a.lib = h;
+    }
+    return a;
+  }();
+  return api;
+}
+
+constexpr int kEncFloat32 = 0x200;  // MPG123_ENC_FLOAT_32
+constexpr int kMpgDone = -12;      // MPG123_DONE
+constexpr int kMpgOk = 0;
+
+}  // namespace
+
+extern "C" {
+
+int aio_have_mp3() { return mpg123().ok() ? 1 : 0; }
+
+// Decode an MP3 to mono float32 (resampled if target_sr > 0).
+// Returns samples written, or negative on error.
+long aio_read_mp3(const char* path, int target_sr, float* out, long max_samples,
+                  int* native_sr_out) {
+  const Mpg123Api& m = mpg123();
+  if (!m.ok()) return -10;
+  int err = 0;
+  void* h = m.make(nullptr, &err);
+  if (!h) return -11;
+  long rc = -12;
+  std::vector<float> interleaved;
+  long rate = 0;
+  int channels = 0, enc = 0;
+  do {
+    // output format must be registered BEFORE open (format changes after the
+    // stream has synced only apply from the next stream)
+    static const long kRates[] = {8000,  11025, 12000, 16000, 22050,
+                                  24000, 32000, 44100, 48000};
+    m.format_none(h);
+    for (long r : kRates) m.format(h, r, 3 /* mono|stereo */, kEncFloat32);
+    if (m.open(h, path) != kMpgOk) break;
+    if (m.getformat(h, &rate, &channels, &enc) != kMpgOk) break;
+    bool is_float = (enc & kEncFloat32) != 0;
+    std::vector<unsigned char> buf(1 << 16);
+    size_t done = 0;
+    int r;
+    while (true) {
+      r = m.read(h, buf.data(), buf.size(), &done);
+      if (is_float) {
+        size_t n = done / sizeof(float);
+        const float* f = (const float*)buf.data();
+        interleaved.insert(interleaved.end(), f, f + n);
+      } else {  // fall back: signed 16-bit native output
+        size_t n = done / sizeof(int16_t);
+        const int16_t* q = (const int16_t*)buf.data();
+        for (size_t i = 0; i < n; i++)
+          interleaved.push_back((float)q[i] / 32768.0f);
+      }
+      if (r == kMpgDone) break;
+      if (r != kMpgOk && r != -11 /* NEW_FORMAT */) break;
+      if (r == -11) {  // format changed mid-stream: re-query
+        m.getformat(h, &rate, &channels, &enc);
+        is_float = (enc & kEncFloat32) != 0;
+      }
+    }
+    rc = 0;
+  } while (false);
+  m.close(h);
+  if (m.del) m.del(h);
+  if (rc != 0) return rc;
+  if (native_sr_out) *native_sr_out = (int)rate;
+
+  long frames = (long)(interleaved.size() / std::max(channels, 1));
+  std::vector<float> mono((size_t)frames);
+  if (channels <= 1) {
+    mono.assign(interleaved.begin(), interleaved.end());
+  } else {
+    for (long i = 0; i < frames; i++) {
+      double acc = 0;
+      for (int c = 0; c < channels; c++) acc += interleaved[i * channels + c];
+      mono[i] = (float)(acc / channels);
+    }
+  }
+  std::vector<float> res;
+  const std::vector<float>* src = &mono;
+  if (target_sr > 0 && target_sr != (int)rate) {
+    resample_sinc(mono, (int)rate, target_sr, &res);
+    src = &res;
+  }
+  long n = std::min<long>((long)src->size(), max_samples);
+  memcpy(out, src->data(), (size_t)n * sizeof(float));
+  return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC decode — from scratch (no libFLAC in this image).
+// Supports: 16/24-bit, constant/verbatim/fixed/LPC subframes, rice/rice2
+// residuals, all stereo decorrelation modes. CRCs are parsed but not
+// verified (decode-oriented).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t len;
+  size_t byte = 0;
+  int bit = 0;  // bits consumed in current byte (0..7)
+
+  bool eof() const { return byte >= len; }
+
+  int read_bit() {
+    if (byte >= len) return -1;
+    int v = (data[byte] >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      byte++;
+    }
+    return v;
+  }
+
+  // read up to 32 bits, MSB first; returns -1 on EOF via ok flag
+  uint32_t read_bits(int n, bool* ok) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+      int b = read_bit();
+      if (b < 0) {
+        *ok = false;
+        return 0;
+      }
+      v = (v << 1) | (uint32_t)b;
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n, bool* ok) {
+    uint32_t v = read_bits(n, ok);
+    if (!*ok || n == 0) return 0;
+    if (v & (1u << (n - 1))) return (int64_t)v - ((int64_t)1 << n);
+    return (int64_t)v;
+  }
+
+  // unary: count zeros until a 1
+  int64_t read_unary(bool* ok) {
+    int64_t q = 0;
+    while (true) {
+      int b = read_bit();
+      if (b < 0) {
+        *ok = false;
+        return 0;
+      }
+      if (b) return q;
+      q++;
+    }
+  }
+
+  void align() {
+    if (bit) {
+      bit = 0;
+      byte++;
+    }
+  }
+};
+
+int64_t rice_decode(BitReader* br, int param, bool* ok) {
+  int64_t q = br->read_unary(ok);
+  if (!*ok) return 0;
+  uint32_t r = param > 0 ? br->read_bits(param, ok) : 0;
+  if (!*ok) return 0;
+  uint64_t u = ((uint64_t)q << param) | r;
+  // zigzag
+  return (u & 1) ? -((int64_t)(u >> 1)) - 1 : (int64_t)(u >> 1);
+}
+
+bool decode_residual(BitReader* br, int blocksize, int order,
+                     std::vector<int64_t>* out) {
+  bool ok = true;
+  uint32_t method = br->read_bits(2, &ok);
+  if (!ok || method > 1) return false;
+  int pbits = method == 0 ? 4 : 5;
+  int escape = method == 0 ? 0xF : 0x1F;
+  uint32_t porder = br->read_bits(4, &ok);
+  if (!ok) return false;
+  int partitions = 1 << porder;
+  int samples_per = blocksize >> porder;
+  if (samples_per <= 0) return false;
+  for (int p = 0; p < partitions; p++) {
+    int count = samples_per - (p == 0 ? order : 0);
+    if (count < 0) return false;
+    uint32_t param = br->read_bits(pbits, &ok);
+    if (!ok) return false;
+    if ((int)param == escape) {
+      uint32_t raw = br->read_bits(5, &ok);
+      if (!ok) return false;
+      for (int i = 0; i < count; i++) {
+        out->push_back(br->read_signed(raw, &ok));
+        if (!ok) return false;
+      }
+    } else {
+      for (int i = 0; i < count; i++) {
+        out->push_back(rice_decode(br, (int)param, &ok));
+        if (!ok) return false;
+      }
+    }
+  }
+  return true;
+}
+
+const int kFixedOrders[5][4] = {
+    {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+
+bool decode_subframe(BitReader* br, int blocksize, int bps,
+                     std::vector<int64_t>* out) {
+  bool ok = true;
+  if (br->read_bits(1, &ok) != 0 || !ok) return false;  // padding bit
+  uint32_t type = br->read_bits(6, &ok);
+  if (!ok) return false;
+  int wasted = 0;
+  if (br->read_bit() == 1) {
+    wasted = 1 + (int)br->read_unary(&ok);
+    if (!ok) return false;
+  }
+  int ebps = bps - wasted;
+  out->clear();
+  out->reserve(blocksize);
+
+  if (type == 0) {  // constant
+    int64_t v = br->read_signed(ebps, &ok);
+    if (!ok) return false;
+    out->assign(blocksize, v);
+  } else if (type == 1) {  // verbatim
+    for (int i = 0; i < blocksize; i++) {
+      out->push_back(br->read_signed(ebps, &ok));
+      if (!ok) return false;
+    }
+  } else if (type >= 8 && type <= 12) {  // fixed, order 0-4
+    int order = (int)type - 8;
+    for (int i = 0; i < order; i++) {
+      out->push_back(br->read_signed(ebps, &ok));
+      if (!ok) return false;
+    }
+    std::vector<int64_t> resid;
+    if (!decode_residual(br, blocksize, order, &resid)) return false;
+    size_t ri = 0;
+    for (int i = order; i < blocksize; i++) {
+      int64_t pred = 0;
+      const int* coef = kFixedOrders[order];
+      for (int j = 0; j < order; j++) pred += coef[j] * (*out)[i - 1 - j];
+      out->push_back(pred + resid[ri++]);
+    }
+  } else if (type >= 32) {  // LPC, order 1-32
+    int order = (int)type - 31;
+    for (int i = 0; i < order; i++) {
+      out->push_back(br->read_signed(ebps, &ok));
+      if (!ok) return false;
+    }
+    uint32_t prec = br->read_bits(4, &ok) + 1;
+    if (!ok || prec == 16) return false;  // 0b1111 invalid
+    int64_t shift = br->read_signed(5, &ok);
+    if (!ok || shift < 0) return false;
+    std::vector<int64_t> coefs(order);
+    for (int i = 0; i < order; i++) {
+      coefs[i] = br->read_signed((int)prec, &ok);
+      if (!ok) return false;
+    }
+    std::vector<int64_t> resid;
+    if (!decode_residual(br, blocksize, order, &resid)) return false;
+    size_t ri = 0;
+    for (int i = order; i < blocksize; i++) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; j++) pred += coefs[j] * (*out)[i - 1 - j];
+      out->push_back((pred >> shift) + resid[ri++]);
+    }
+  } else {
+    return false;
+  }
+  if (wasted) {
+    for (auto& v : *out) v <<= wasted;
+  }
+  return true;
+}
+
+bool read_utf8_number(BitReader* br, uint64_t* out) {
+  bool ok = true;
+  uint32_t b0 = br->read_bits(8, &ok);
+  if (!ok) return false;
+  int extra = 0;
+  uint64_t v = 0;
+  if ((b0 & 0x80) == 0) {
+    v = b0;
+  } else {
+    uint8_t mask = 0x40;
+    while (b0 & mask) {
+      extra++;
+      mask >>= 1;
+    }
+    if (extra < 1 || extra > 6) return false;
+    v = b0 & (0x3F >> extra);
+  }
+  for (int i = 0; i < extra; i++) {
+    uint32_t b = br->read_bits(8, &ok);
+    if (!ok || (b & 0xC0) != 0x80) return false;
+    v = (v << 6) | (b & 0x3F);
+  }
+  *out = v;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a FLAC file to mono float32 (resampled if target_sr > 0).
+long aio_read_flac(const char* path, int target_sr, float* out, long max_samples,
+                   int* native_sr_out) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  if (buf.size() < 42 || memcmp(buf.data(), "fLaC", 4) != 0) return -2;
+
+  size_t pos = 4;
+  int sample_rate = 0, channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false;
+  // metadata blocks
+  while (!last && pos + 4 <= buf.size()) {
+    uint8_t hdr = buf[pos];
+    last = (hdr & 0x80) != 0;
+    int type = hdr & 0x7F;
+    uint32_t blen = ((uint32_t)buf[pos + 1] << 16) | ((uint32_t)buf[pos + 2] << 8) |
+                    buf[pos + 3];
+    const uint8_t* d = buf.data() + pos + 4;
+    if (type == 0 && blen >= 34) {  // STREAMINFO
+      sample_rate = ((int)d[10] << 12) | ((int)d[11] << 4) | (d[12] >> 4);
+      channels = ((d[12] >> 1) & 0x7) + 1;
+      bps = (((d[12] & 1) << 4) | (d[13] >> 4)) + 1;
+      total_samples = ((uint64_t)(d[13] & 0x0F) << 32) | ((uint64_t)d[14] << 24) |
+                      ((uint64_t)d[15] << 16) | ((uint64_t)d[16] << 8) | d[17];
+    }
+    pos += 4 + blen;
+  }
+  if (sample_rate == 0 || channels == 0 || bps == 0) return -3;
+
+  static const int kBlockSizes[16] = {0,   192,  576,  1152, 2304, 4608, -1, -2,
+                                      256, 512,  1024, 2048, 4096, 8192, 16384, 32768};
+  static const int kRates[16] = {0,     88200, 176400, 192000, 8000,  16000,
+                                 22050, 24000, 32000,  44100,  48000, 96000,
+                                 -1,    -2,    -3,     0};
+
+  std::vector<std::vector<float>> chans((size_t)channels);
+  BitReader br{buf.data(), buf.size(), pos, 0};
+
+  while (true) {
+    br.align();
+    if (br.byte + 4 >= br.len) break;
+    bool ok = true;
+    uint32_t sync = br.read_bits(14, &ok);
+    if (!ok) break;
+    if (sync != 0x3FFE) break;
+    br.read_bits(1, &ok);                      // reserved
+    br.read_bits(1, &ok);                      // blocking strategy
+    uint32_t bs_code = br.read_bits(4, &ok);
+    uint32_t sr_code = br.read_bits(4, &ok);
+    uint32_t ch_code = br.read_bits(4, &ok);
+    uint32_t ss_code = br.read_bits(3, &ok);
+    br.read_bits(1, &ok);  // reserved
+    if (!ok) break;
+    uint64_t frame_no;
+    if (!read_utf8_number(&br, &frame_no)) break;
+
+    int blocksize;
+    if (bs_code == 6) blocksize = (int)br.read_bits(8, &ok) + 1;
+    else if (bs_code == 7) blocksize = (int)br.read_bits(16, &ok) + 1;
+    else blocksize = kBlockSizes[bs_code];
+    if (!ok || blocksize <= 0) break;
+
+    if (sr_code == 12) br.read_bits(8, &ok);
+    else if (sr_code == 13 || sr_code == 14) br.read_bits(16, &ok);
+    if (!ok) break;
+
+    br.read_bits(8, &ok);  // CRC-8 (unverified)
+    if (!ok) break;
+
+    int sub_bps[8];
+    int nch;
+    if (ch_code < 8) {
+      nch = (int)ch_code + 1;
+      for (int c = 0; c < nch; c++) sub_bps[c] = bps;
+    } else {
+      nch = 2;
+      sub_bps[0] = bps;
+      sub_bps[1] = bps;
+      if (ch_code == 8) sub_bps[1] = bps + 1;       // left/side
+      else if (ch_code == 9) sub_bps[0] = bps + 1;  // right/side
+      else if (ch_code == 10) sub_bps[1] = bps + 1; // mid/side
+      else break;
+    }
+    (void)ss_code;
+
+    std::vector<std::vector<int64_t>> sub((size_t)nch);
+    bool frame_ok = true;
+    for (int c = 0; c < nch; c++) {
+      if (!decode_subframe(&br, blocksize, sub_bps[c], &sub[c])) {
+        frame_ok = false;
+        break;
+      }
+    }
+    if (!frame_ok) break;
+    br.align();
+    br.read_bits(16, &ok);  // CRC-16 (unverified)
+
+    // stereo decorrelation
+    if (ch_code == 8) {  // left/side: right = left - side
+      for (int i = 0; i < blocksize; i++) sub[1][i] = sub[0][i] - sub[1][i];
+    } else if (ch_code == 9) {  // right/side: left = side + right
+      for (int i = 0; i < blocksize; i++) sub[0][i] = sub[0][i] + sub[1][i];
+    } else if (ch_code == 10) {  // mid/side
+      for (int i = 0; i < blocksize; i++) {
+        int64_t side = sub[1][i];
+        int64_t m2 = (sub[0][i] << 1) | (side & 1);
+        sub[0][i] = (m2 + side) >> 1;
+        sub[1][i] = (m2 - side) >> 1;
+      }
+    }
+
+    double scale = 1.0 / (double)((int64_t)1 << (bps - 1));
+    for (int c = 0; c < std::min(nch, channels); c++) {
+      for (int i = 0; i < blocksize; i++) {
+        chans[c].push_back((float)(sub[c][i] * scale));
+      }
+    }
+  }
+
+  if (chans[0].empty()) return -4;
+  long frames = (long)chans[0].size();
+  if (total_samples > 0 && (long)total_samples < frames) frames = (long)total_samples;
+  std::vector<float> mono((size_t)frames);
+  for (long i = 0; i < frames; i++) {
+    double acc = 0;
+    for (int c = 0; c < channels; c++)
+      acc += (i < (long)chans[c].size()) ? chans[c][i] : 0.0f;
+    mono[i] = (float)(acc / channels);
+  }
+  if (native_sr_out) *native_sr_out = sample_rate;
+  std::vector<float> res;
+  const std::vector<float>* src = &mono;
+  if (target_sr > 0 && target_sr != sample_rate) {
+    resample_sinc(mono, sample_rate, target_sr, &res);
+    src = &res;
+  }
+  long n = std::min<long>((long)src->size(), max_samples);
+  memcpy(out, src->data(), (size_t)n * sizeof(float));
+  return n;
+}
+
+}  // extern "C"

@@ -7,9 +7,10 @@ with the same windowed-sinc kernel as ops/audio.py. ctypes calls release the
 GIL, so a Python thread pool gets true parallel decode.
 
 If the shared library hasn't been built (``native/build.sh``), we build it on
-first use; failing that, a numpy + stdlib-``wave`` fallback covers PCM16.
-FLAC/MP3 are not supported in this environment (no decoder exists here at
-all); loaders surface a clear error for those extensions.
+first use; failing that, a numpy + stdlib-``wave`` fallback covers PCM16 WAV.
+MP3 decodes through libmpg123 (dlopen'd by the native library) and FLAC
+through our from-scratch C++ decoder — covering the reference's full
+['flac', 'wav', 'mp3'] extension surface (data.py:67).
 """
 
 from __future__ import annotations
@@ -72,6 +73,19 @@ def _load_lib():
             ctypes.c_int,
         ]
         lib.aio_write_wav.restype = ctypes.c_int
+        for name in ("aio_read_mp3", "aio_read_flac"):
+            fn = getattr(lib, name, None)
+            if fn is not None:
+                fn.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                fn.restype = ctypes.c_long
+        if hasattr(lib, "aio_have_mp3"):
+            lib.aio_have_mp3.restype = ctypes.c_int
         _lib = lib
     else:
         _lib = False
@@ -95,15 +109,49 @@ def wav_info(path: str) -> Tuple[int, int, int]:
         return w.getframerate(), w.getnchannels(), w.getnframes()
 
 
-def read_wav(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
-    """Decode to mono float32 (resampled if target_sr given).
+def read_audio(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Decode WAV/MP3/FLAC to mono float32 (resampled if target_sr given).
     Returns (samples, sample_rate_of_returned_audio)."""
+    p = str(path).lower()
+    if p.endswith(".mp3"):
+        return _read_via(path, "aio_read_mp3", target_sr)
+    if p.endswith(".flac"):
+        return _read_via(path, "aio_read_flac", target_sr)
+    return read_wav(path, target_sr)
+
+
+def _read_via(path: str, fn_name: str, target_sr: Optional[int]) -> Tuple[np.ndarray, int]:
+    lib = _load_lib()
+    if not lib or not hasattr(lib, fn_name):
+        raise IOError(f"native decoder for {fn_name} unavailable; rebuild native/")
+    fn = getattr(lib, fn_name)
+    size = Path(path).stat().st_size
+    # generous capacity: mp3 <= ~14x compression at 16-bit, flac <= ~4x
+    cap = max(int(size * 24), 1 << 20)
+    if target_sr:
+        cap = int(cap * max(target_sr / 8000, 1.0)) + 64
+    buf = np.empty(cap, np.float32)
+    native_sr = ctypes.c_int()
+    n = fn(
+        str(path).encode(),
+        int(target_sr or 0),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap,
+        native_sr,
+    )
+    if n < 0:
+        raise IOError(f"failed to decode {path} (rc={n})")
+    return buf[:n].copy(), (target_sr or native_sr.value)
+
+
+def have_mp3() -> bool:
+    lib = _load_lib()
+    return bool(lib) and hasattr(lib, "aio_have_mp3") and bool(lib.aio_have_mp3())
+
+
+def read_wav(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Decode a WAV to mono float32 (resampled if target_sr given)."""
     p = str(path)
-    if not p.lower().endswith(".wav"):
-        raise IOError(
-            f"unsupported audio format for {p}: only WAV is decodable in this "
-            "environment (no flac/mp3 decoder available)"
-        )
     lib = _load_lib()
     if lib:
         sr, ch, fr = wav_info(p)

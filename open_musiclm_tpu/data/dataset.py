@@ -24,7 +24,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .audio_io import read_wav, resample_np
+from .audio_io import read_audio, resample_np
 from .tokenstore import ShardedTokenStore
 
 AUDIO_EXTS = ("wav", "flac", "mp3")
@@ -76,7 +76,7 @@ class SoundDataset:
         return len(self.files)
 
     def _load(self, idx: int) -> Tuple[np.ndarray, int]:
-        data, sr = read_wav(str(self.files[idx]))
+        data, sr = read_audio(str(self.files[idx]))
         return data[None, :], sr  # [1, T] mono
 
     def __getitem__(self, idx: int):
