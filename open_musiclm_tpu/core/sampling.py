@@ -71,3 +71,46 @@ def append_eos_id(ids: jnp.ndarray, eos_id: int) -> jnp.ndarray:
     """Append an EOS column (reference utils.py:112-117)."""
     eos = jnp.full(ids.shape[:-1] + (1,), eos_id, dtype=ids.dtype)
     return jnp.concatenate([ids, eos], axis=-1)
+
+
+def all_rows_have_eos_id(ids: jnp.ndarray, eos_id: int) -> jnp.ndarray:
+    """True iff every row contains EOS (reference utils.py:95-97)."""
+    return jnp.all(jnp.any(ids == eos_id, axis=-1))
+
+
+def unique_consecutive_mask(ids: jnp.ndarray) -> jnp.ndarray:
+    """[..., n] -> bool mask of first-of-run positions.
+
+    Fixed-shape building block for the reference's ``batch_unique_consecutive``
+    (utils.py:119-121): inside jit we cannot compact sequences, so duplicate
+    runs are instead masked out (see ``mask_unique_consecutive``). Position 0
+    is always kept.
+    """
+    prev = jnp.pad(ids, [(0, 0)] * (ids.ndim - 1) + [(1, 0)], constant_values=-(10 ** 9))[
+        ..., :-1
+    ]
+    return ids != prev
+
+
+def mask_unique_consecutive(ids: jnp.ndarray, pad_id: int = -1) -> jnp.ndarray:
+    """Replace consecutive duplicates with ``pad_id`` (fixed-shape stand-in
+    for compaction: the attention key-mask and CE padding then ignore them —
+    positions are preserved instead of shifted)."""
+    return jnp.where(unique_consecutive_mask(ids), ids, pad_id)
+
+
+def batch_unique_consecutive_np(ids, pad_id: int = -1):
+    """Host-side exact compaction (reference semantics: runs collapse and the
+    batch right-pads to the longest row; utils.py:119-121)."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    rows = []
+    for row in ids:
+        keep = np.concatenate([[True], row[1:] != row[:-1]])
+        rows.append(row[keep])
+    width = max(len(r) for r in rows)
+    out = np.full((len(rows), width), pad_id, dtype=ids.dtype)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out

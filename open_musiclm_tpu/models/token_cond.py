@@ -223,6 +223,11 @@ class StageLossConfig:
     cross_entropy_loss_weights: Tuple[float, ...]
     mask_prob: float = 0.15
     pad_id: int = PAD_ID
+    # fixed-shape stand-in for reference batch_unique_consecutive
+    # (open_musiclm.py:349-352): duplicate runs become pad (masked from
+    # attention and CE) instead of being compacted. Off in all shipped
+    # MusicLM configs, like the reference.
+    unique_consecutive: bool = False
 
 
 def stage_training_loss(
@@ -244,6 +249,14 @@ def stage_training_loss(
     ids = [jnp.reshape(t, (t.shape[0], -1)) for t in all_token_ids]
     if not input_has_eos:
         ids = [append_eos_id(t, e) for t, e in zip(ids, eos_ids)]
+
+    if cfg.unique_consecutive:
+        from ..core.sampling import mask_unique_consecutive
+
+        ids = [
+            mask_unique_consecutive(t, cfg.pad_id) if s.unique_consecutive else t
+            for t, s in zip(ids, specs)
+        ]
 
     labels = [t for t in ids]
     ids = list(ids)
@@ -279,13 +292,21 @@ def stage_training_loss(
 
     total_logits = 0.0
     running_loss = 0.0
-    for lg, lb, w in zip(logits, labels, cfg.cross_entropy_loss_weights):
+    for lg, lb, w, spec in zip(logits, labels, cfg.cross_entropy_loss_weights, specs):
         if w <= 0 or lg is None:
             continue
-        num = lb.size
+        uc = cfg.unique_consecutive and spec.unique_consecutive
         logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, lb[..., None], axis=-1)[..., 0]
-        running_loss = running_loss + jnp.mean(nll) * num * w
+        safe_lb = jnp.where(lb == cfg.pad_id, 0, lb)
+        nll = -jnp.take_along_axis(logp, safe_lb[..., None], axis=-1)[..., 0]
+        if uc:
+            valid = lb != cfg.pad_id  # reference ignore_index=pad_id
+            num = jnp.sum(valid)
+            mean_nll = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(num, 1)
+        else:
+            num = lb.size
+            mean_nll = jnp.mean(nll)
+        running_loss = running_loss + mean_nll * num * w
         total_logits = total_logits + num
     loss = running_loss / jnp.maximum(total_logits, 1)
     return loss, {"logits": logits, "labels": labels}

@@ -168,3 +168,44 @@ def test_pad_ids_embed_to_zero():
         params, 0, ids, method=TokenConditionedTransformer.embed_one_sequence
     )
     np.testing.assert_array_equal(np.asarray(emb), 0.0)
+
+
+def test_unique_consecutive_masked_loss():
+    from open_musiclm_tpu.core.sampling import (
+        batch_unique_consecutive_np,
+        mask_unique_consecutive,
+        unique_consecutive_mask,
+    )
+
+    ids = jnp.array([[3, 3, 5, 5, 5, 2], [1, 2, 2, 1, 1, 1]])
+    mask = unique_consecutive_mask(ids)
+    np.testing.assert_array_equal(
+        np.asarray(mask),
+        [[True, False, True, False, False, True], [True, True, False, True, False, False]],
+    )
+    masked = mask_unique_consecutive(ids)
+    np.testing.assert_array_equal(np.asarray(masked[0]), [3, -1, 5, -1, -1, 2])
+    # host-side exact compaction (reference semantics)
+    comp = batch_unique_consecutive_np(np.asarray(ids))
+    np.testing.assert_array_equal(comp[0], [3, 5, 2])
+    np.testing.assert_array_equal(comp[1], [1, 2, 1])
+    # uneven runs pad to the longest compacted row
+    comp2 = batch_unique_consecutive_np(np.array([[1, 1, 1, 1], [1, 2, 3, 4]]))
+    np.testing.assert_array_equal(comp2[0], [1, -1, -1, -1])
+
+    # loss path runs with unique_consecutive sequences
+    specs = (
+        TokenSequenceSpec(CB, 1, unique_consecutive=True),
+        TokenSequenceSpec(CB, 1, unique_consecutive=True),
+    )
+    model = TokenConditionedTransformer(specs=specs, dim=32, depth=1, heads=2, dim_head=8)
+    tok = [
+        jax.random.randint(jax.random.PRNGKey(0), (2, 6), 0, 3),
+        jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 3),
+    ]
+    params = model.init(jax.random.PRNGKey(2), tok)
+    cfg = StageLossConfig(
+        cross_entropy_loss_weights=(0.0, 1.0), unique_consecutive=True, mask_prob=0.0
+    )
+    loss, aux = stage_training_loss(model, params, tok, jax.random.PRNGKey(3), cfg)
+    assert np.isfinite(float(loss))
