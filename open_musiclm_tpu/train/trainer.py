@@ -45,6 +45,24 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class _PreemptionGuard:
+    """Latches SIGTERM/SIGINT so the train loop can checkpoint and exit."""
+
+    def __init__(self):
+        import signal
+
+        self.triggered = False
+        self._prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):
+                pass  # not the main thread / unsupported
+
+    def _handler(self, signum, frame):
+        self.triggered = True
+
+
 def token_accuracy(logits, labels) -> jnp.ndarray:
     """Fraction of argmax-correct predictions (valid metric,
     trainer.py:457-479)."""
@@ -206,7 +224,15 @@ class StageTrainer:
         from ..profiling import StepTimer
 
         timer = StepTimer()
+        stop = _PreemptionGuard()
         for _ in range(num_steps):
+            if stop.triggered:
+                # TPU-pod preemption safety: checkpoint and exit cleanly so a
+                # restart resumes from here (the reference has no elastic
+                # story at all; SURVEY.md 5.3)
+                self.save(state, int(state.step))
+                self.log(int(state.step), preempted=1.0)
+                break
             step = int(state.step)
             batch = next(data_iter)
             rng, krng = jax.random.split(rng)

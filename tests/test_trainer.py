@@ -118,3 +118,29 @@ def test_batch_actually_sharded(trainer_and_state):
 
     b = jax.device_put(batch[0], NamedSharding(trainer.mesh, P(None, "dp")))
     assert len(b.sharding.device_set) == 8
+
+
+def test_preemption_guard_checkpoints(trainer_and_state, tmp_path):
+    import os
+    import signal
+
+    trainer, new_state = trainer_and_state
+    trainer.results_folder = str(tmp_path)
+    state = new_state()
+
+    def gen():
+        i = 0
+        while True:
+            if i == 1:
+                os.kill(os.getpid(), signal.SIGTERM)  # preempt after step 1
+            i += 1
+            yield synthetic_batch(jax.random.PRNGKey(i), accum=1, batch=8)
+
+    out = trainer.train(
+        state, gen(), num_steps=10, rng=jax.random.PRNGKey(0)
+    )
+    # stopped early and saved a checkpoint at the preemption step
+    assert int(out.step) < 10
+    from open_musiclm_tpu.checkpoint import find_latest_checkpoint
+
+    assert find_latest_checkpoint(str(tmp_path), "test.transformer") is not None
