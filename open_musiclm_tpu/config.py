@@ -13,20 +13,18 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import asdict, dataclass, field
-from pathlib import Path
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .core.sequence import TokenSequenceSpec
 from .models.clap.clap import CLAP, ClapQuantized
 from .models.clap.htsat import HTSATConfig
 from .models.clap.roberta import RobertaConfig
 from .models.encodec import EncodecModel, create_encodec_24khz
 from .models.hubert import HubertConfig, HubertModel, HubertWithKmeans
-from .models.rvq import RVQState, rvq_init
+from .models.rvq import rvq_init
 from .models.stages import (
     Stage,
     create_coarse_transformer,

@@ -34,11 +34,10 @@ from .models.clap.clap import ClapQuantized
 from .models.clap.htsat import HTSATConfig
 from .models.clap.roberta import RobertaConfig
 from .models.clap.tokenizer import load_tokenizer
-from .models.hubert import HubertConfig, HubertWithKmeans
+from .models.hubert import HubertWithKmeans
 from .models.musiclm import MusicLM
 from .models.rvq import RVQState, rvq_init
 from .models.stages import Stage
-from .models.token_cond import StageLossConfig
 
 
 def _is_orbax(path: str) -> bool:

@@ -8,7 +8,7 @@ w2v-BERT instead of MERT) plug into the stages without inheritance.
 
 from __future__ import annotations
 
-from typing import Any, Protocol, runtime_checkable
+from typing import Protocol, runtime_checkable
 
 import jax.numpy as jnp
 
