@@ -100,6 +100,34 @@ def main():
 
     audio_seconds = wave.shape[0] * wave.shape[1] / codec.sample_rate
     value = audio_seconds / dt
+
+    # secondary metric: per-stage AR decode rates (tokens/sec) at one window
+    def stage_rate(stage, cond_shapes, T, temp):
+        cond = [
+            jax.random.randint(jax.random.PRNGKey(20 + i), (batch,) + s, 0, 1024)
+            for i, s in enumerate(cond_shapes)
+        ]
+        k = jax.random.PRNGKey(21)
+        np.asarray(stage.generate(cond, k, max_time_steps=T, temperature=temp))  # warm
+        t0 = time.perf_counter()
+        np.asarray(stage.generate(cond, jax.random.PRNGKey(22), max_time_steps=T, temperature=temp))
+        dt = time.perf_counter() - t0
+        q = stage.model.specs[-1].num_quantizers
+        return round(batch * T * q / dt, 1)
+
+    sem_hz = mc.hubert_kmeans_cfg.output_hz
+    ac_hz = mc.encodec_cfg.output_hz
+    nq_clap = mc.clap_rvq_cfg.rq_num_quantizers
+    sem_T = int(min(output_seconds, mc.global_cfg.semantic_audio_length_seconds) * sem_hz)
+    stage_rates = {
+        "semantic_tok_per_s": stage_rate(semantic, [(nq_clap,)], sem_T, 1.0),
+        "coarse_tok_per_s": stage_rate(
+            coarse, [(nq_clap,), (int(4 * sem_hz) - 1,)], int(4 * ac_hz), 0.95
+        ),
+        "fine_tok_per_s": stage_rate(
+            fine, [(nq_clap,), (int(2 * ac_hz) * 3,)], int(2 * ac_hz), 0.4
+        ),
+    }
     print(
         json.dumps(
             {
@@ -113,6 +141,7 @@ def main():
                     "audio_seconds_generated": round(float(audio_seconds), 2),
                     "wall_seconds": round(dt, 3),
                     "device": str(jax.devices()[0]),
+                    **stage_rates,
                 },
             }
         )
