@@ -1,0 +1,212 @@
+"""int8 weight-only decode path for serving.
+
+A functional mirror of ``Transformer.decode_step`` + ``step_logits`` that
+streams the big matmul weights (to_q/to_kv/to_out/proj_in/proj_out, logit
+heads) as per-channel int8 through the Pallas kernel (ops/quant.py), halving
+the HBM weight traffic that bounds decode throughput. Norms, per-dim scales,
+conv taps, embeddings and the rel-pos table stay full precision (they are a
+rounding error of the byte budget).
+
+Opt-in serving mode: quantization perturbs logits slightly, so fixed-seed
+token parity versus the full-precision path is approximate (argmax tokens
+typically agree; guaranteed parity requires the fp path). Verified
+numerically against the flax decode step in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sampling import NEG_INF, append_eos_id, mask_out_after_eos_id, sample_top_k_gumbel
+from ..ops.attention import l2norm, shared_kv_decode_step
+from ..ops.quant import int8_matmul, int8_matmul_xla, quantize_weight
+from .token_cond import (
+    PAD_ID,
+    TokenConditionedTransformer,
+    _tfm_bias_table,
+    _tfm_init_cache,
+    _tfm_prefill,
+)
+
+
+def _ln(x: jnp.ndarray, gamma: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * gamma).astype(x.dtype)
+
+
+def quantize_stage_params(model: TokenConditionedTransformer, params) -> Dict[str, Any]:
+    """Build the int8 side-tree for the decode path."""
+    p = params["params"]
+    t = p["transformer"]
+    q: Dict[str, Any] = {}
+    for l in range(model.depth):
+        a = t[f"attn_{l}"]
+        f = t[f"ff_{l}"]
+        q[f"attn_{l}"] = {
+            "to_q": quantize_weight(a["to_q"]["kernel"]),
+            "to_kv": quantize_weight(a["to_kv"]["kernel"]),
+            "to_out": quantize_weight(a["to_out"]["kernel"]),
+        }
+        q[f"ff_{l}"] = {
+            "proj_in": quantize_weight(f["proj_in"]["kernel"]),
+            "proj_out": quantize_weight(f["proj_out"]["kernel"]),
+        }
+    # final-sequence logit heads: [Q, C, d] -> per-head [d, C] int8
+    w = p[f"logits_{len(model.specs) - 1}"]
+    heads_q, heads_s = [], []
+    for i in range(w.shape[0]):
+        wq, ws = quantize_weight(jnp.transpose(w[i]))  # [d, C]
+        heads_q.append(wq)
+        heads_s.append(ws)
+    q["logit_heads"] = (jnp.stack(heads_q), jnp.stack(heads_s))
+    return q
+
+
+def quant_decode_step(
+    model: TokenConditionedTransformer,
+    params,
+    qparams,
+    x_t: jnp.ndarray,  # [b, dim]
+    cache: Dict[str, jnp.ndarray],
+    pos: jnp.ndarray,
+    bias_table: Optional[jnp.ndarray],
+    matmul: Callable = int8_matmul,
+):
+    """One decode step with int8 weights. Returns (normed h [b, dim], cache)."""
+    t = params["params"]["transformer"]
+    d = model.dim_head
+    heads = model.heads
+    x = x_t
+    new_k, new_v, new_ff = [], [], []
+    for l in range(model.depth):
+        a, qa = t[f"attn_{l}"], qparams[f"attn_{l}"]
+        h = _ln(x, a["norm"]["gamma"])
+        qv = matmul(h, *qa["to_q"])  # [b, heads*d]
+        kv = matmul(h, *qa["to_kv"])  # [b, 2d]
+        b = x.shape[0]
+        qh = qv.reshape(b, heads, d)
+        k_t, v_t = jnp.split(kv, 2, axis=-1)
+        qh = l2norm(qh) * a["q_scale"].astype(qh.dtype)
+        k_t = l2norm(k_t) * a["k_scale"].astype(k_t.dtype)
+        k_c = jax.lax.dynamic_update_slice(cache["k"][l], k_t[:, None, :], (0, pos, 0))
+        v_c = jax.lax.dynamic_update_slice(cache["v"][l], v_t[:, None, :], (0, pos, 0))
+        attn = shared_kv_decode_step(
+            qh, k_c, v_c, pos, scale=8.0, bias_table=bias_table, key_mask=cache["mask"]
+        )
+        x = x + matmul(attn, *qa["to_out"])
+
+        f, qf = t[f"ff_{l}"], qparams[f"ff_{l}"]
+        h2 = _ln(x, f["norm_in"]["gamma"])
+        u_t = matmul(h2, *qf["proj_in"])  # [b, 2*inner]
+        w = f["conv_w"].astype(u_t.dtype)
+        ff_state = cache["ff"][l]
+        conv = ff_state[:, 0] * w[0] + ff_state[:, 1] * w[1] + u_t * w[2]
+        val, gate = jnp.split(conv, 2, axis=-1)
+        g = jax.nn.gelu(gate, approximate=False) * val
+        g = _ln(g, f["norm_mid"]["gamma"])
+        x = x + matmul(g, *qf["proj_out"])
+
+        new_k.append(k_c)
+        new_v.append(v_c)
+        new_ff.append(jnp.stack([ff_state[:, 1], u_t], axis=1))
+
+    cache = {
+        "k": jnp.stack(new_k),
+        "v": jnp.stack(new_v),
+        "ff": jnp.stack(new_ff),
+        "mask": cache["mask"],
+    }
+    return _ln(x, t["final_norm"]["gamma"]), cache
+
+
+def generate_quantized(
+    model: TokenConditionedTransformer,
+    params,
+    qparams,
+    conditioning_token_ids: Sequence[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    max_time_steps: int,
+    init_pred_ids: Optional[jnp.ndarray] = None,
+    filter_thres: float = 0.9,
+    temperature: float = 1.0,
+    allow_eos_in_output: bool = False,
+    include_eos_in_output: bool = False,
+    append_eos_to_conditioning_tokens: bool = True,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
+    scan decode."""
+    specs = model.specs
+    pred_spec = specs[-1]
+    q_num = pred_spec.num_quantizers
+    eos_id = pred_spec.eos_id
+    batch = conditioning_token_ids[0].shape[0]
+    matmul = int8_matmul if use_pallas else int8_matmul_xla
+
+    cond = [jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids]
+    if append_eos_to_conditioning_tokens:
+        cond = [append_eos_id(t, s.eos_id) for t, s in zip(cond, specs[:-1])]
+    if init_pred_ids is not None:
+        init_flat = jnp.reshape(init_pred_ids, (batch, -1))
+        n_init = int(init_flat.shape[-1])
+    else:
+        init_flat = jnp.zeros((batch, 0), jnp.int32)
+        n_init = 0
+
+    total_steps = max_time_steps * q_num
+    n_new = total_steps - n_init
+    prefill_ids = list(cond) + [init_flat]
+    prefill_len = sum(t.shape[-1] for t in prefill_ids) + len(specs)
+    max_len = prefill_len + n_new
+
+    x = model.apply(params, prefill_ids, method=TokenConditionedTransformer.assemble_stream)
+    cache = model.apply(params, batch, max_len, method=_tfm_init_cache)
+    table = model.apply(params, max_len, method=_tfm_bias_table)
+    h_all, cache = model.apply(params, x, cache, method=_tfm_prefill)
+    h_last = h_all[:, -1]
+
+    sampled = jnp.full((batch, total_steps), eos_id, jnp.int32)
+    if n_init > 0:
+        sampled = sampled.at[:, :n_init].set(init_flat)
+
+    emb_table = params["params"][f"embed_{len(specs) - 1}"]["embedding"]
+    heads_q, heads_s = qparams["logit_heads"]
+
+    def step(carry, s):
+        cache, h_last, sampled, rng = carry
+        flat_idx = n_init + s
+        q_idx = flat_idx % q_num
+        wq = jax.lax.dynamic_index_in_dim(heads_q, q_idx, 0, keepdims=False)
+        ws = jax.lax.dynamic_index_in_dim(heads_s, q_idx, 0, keepdims=False)
+        logits = matmul(h_last, wq, ws)  # [b, C]
+        is_last_q = q_idx == (q_num - 1)
+        eos_ok = jnp.logical_and(allow_eos_in_output, is_last_q)
+        logits = logits.at[:, -1].set(jnp.where(eos_ok, logits[:, -1], NEG_INF))
+        rng, sub = jax.random.split(rng)
+        tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
+        sampled = jax.lax.dynamic_update_slice(sampled, tok[:, None], (0, flat_idx))
+        offset = q_idx * pred_spec.codebook_size if q_num > 1 else 0
+        emb = emb_table[tok + offset].astype(model.dtype)
+        if model.use_absolute_position_embeddings:
+            pos_table = params["params"][f"abs_pos_embed_{len(specs) - 1}"]["embedding"]
+            emb = emb + pos_table[flat_idx].astype(model.dtype)
+        pos = prefill_len + s
+        h_last, cache = quant_decode_step(
+            model, params, qparams, emb, cache, pos, table, matmul=matmul
+        )
+        return (cache, h_last, sampled, rng), None
+
+    (cache, h_last, sampled, rng), _ = jax.lax.scan(
+        step, (cache, h_last, sampled, rng), jnp.arange(n_new)
+    )
+    sampled = mask_out_after_eos_id(
+        sampled, eos_id, mask_value=PAD_ID, keep_eos=include_eos_in_output
+    )
+    return sampled.reshape(batch, max_time_steps, q_num)
