@@ -90,6 +90,7 @@ class StageTrainer:
     save_model_every: int = 1000
     save_results_every: int = 250
     stage_name: str = "stage"
+    use_tensorboard: bool = True
 
     def __post_init__(self):
         if self.mesh is None:
@@ -104,6 +105,18 @@ class StageTrainer:
         self._eval_step = None
         Path(self.results_folder).mkdir(parents=True, exist_ok=True)
         self._log_path = Path(self.results_folder) / f"{self.stage_name}.log.jsonl"
+        self._tb = None
+        if self.use_tensorboard:
+            # tensorboard tracker (reference trainer.py:348-351); JSONL stays
+            # the primary sink
+            try:
+                from flax.metrics import tensorboard as _tb
+
+                self._tb = _tb.SummaryWriter(
+                    str(Path(self.results_folder) / "tb" / self.stage_name)
+                )
+            except Exception:
+                self._tb = None
 
     # ---- state ----
 
@@ -183,6 +196,12 @@ class StageTrainer:
         rec.update({k: float(v) for k, v in metrics.items()})
         with open(self._log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                try:
+                    self._tb.scalar(k, float(v), int(step))
+                except Exception:
+                    pass
 
     def checkpoint_path(self, step: int) -> str:
         return str(
