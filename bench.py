@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeat bench/serving runs skip the ~10 min
+# of cold compiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/omt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def main():
     from open_musiclm_tpu.config import init_stage, load_model_config

@@ -11,6 +11,12 @@ Opt-in serving mode: quantization perturbs logits slightly, so fixed-seed
 token parity versus the full-precision path is approximate (argmax tokens
 typically agree; guaranteed parity requires the fp path). Verified
 numerically against the flax decode step in tests.
+
+Measured on one v5e chip (coarse geometry, batch 8): 0.92x vs the bf16 path —
+the ~31 Pallas kernel launches per decode step currently offset the 2x
+weight-bandwidth saving, so this path trades a little throughput for a 2x
+smaller weight working set (useful when co-locating stages); a single fused
+per-layer mega-kernel is the follow-up that would realize the bandwidth win.
 """
 
 from __future__ import annotations

@@ -10,6 +10,17 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
 
+def enable_compilation_cache():
+    """Persistent XLA compile cache: repeat CLI runs skip cold compiles."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/omt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--model_config", default=str(REPO_ROOT / "configs/model/musiclm_small.json"))
     p.add_argument("--semantic_path", default=None)
@@ -36,6 +47,7 @@ def add_training_args(p: argparse.ArgumentParser):
 
 
 def build_musiclm(args):
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from open_musiclm_tpu.config import load_model_config
