@@ -145,15 +145,18 @@ def generate_quantized(
     allow_eos_in_output: bool = False,
     include_eos_in_output: bool = False,
     append_eos_to_conditioning_tokens: bool = True,
-    use_pallas: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
-    scan decode."""
+    scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
+    only supports interpret mode)."""
     specs = model.specs
     pred_spec = specs[-1]
     q_num = pred_spec.num_quantizers
     eos_id = pred_spec.eos_id
     batch = conditioning_token_ids[0].shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     matmul = int8_matmul if use_pallas else int8_matmul_xla
 
     cond = [jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids]

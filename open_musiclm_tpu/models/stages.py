@@ -106,14 +106,59 @@ def _jitted_generate(
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_generate_quantized(
+    model: TokenConditionedTransformer,
+    max_time_steps: int,
+    has_init: bool,
+    filter_thres: float,
+    temperature: float,
+    allow_eos_in_output: bool,
+    include_eos_in_output: bool,
+):
+    def fn(params, qparams, cond_ids, init_pred, key):
+        from .quant_decode import generate_quantized
+
+        return generate_quantized(
+            model,
+            params,
+            qparams,
+            list(cond_ids),
+            key,
+            max_time_steps=max_time_steps,
+            init_pred_ids=init_pred if has_init else None,
+            filter_thres=filter_thres,
+            temperature=temperature,
+            allow_eos_in_output=allow_eos_in_output,
+            include_eos_in_output=include_eos_in_output,
+        )
+
+    return jax.jit(fn)
+
+
 @dataclasses.dataclass
 class Stage:
-    """A trained stage: model + params + loss config."""
+    """A trained stage: model + params + loss config.
+
+    ``quantized=True`` switches generation to the int8 weight-only decode
+    path (models/quant_decode.py) — ~2x smaller weight working set; see the
+    measured-perf note there."""
 
     model: TokenConditionedTransformer
     params: Any
     loss_cfg: StageLossConfig
     name: str = "stage"
+    quantized: bool = False
+
+    def __post_init__(self):
+        self._qparams = None
+
+    def _get_qparams(self):
+        if self._qparams is None:
+            from .quant_decode import quantize_stage_params
+
+            self._qparams = quantize_stage_params(self.model, self.params)
+        return self._qparams
 
     def generate(
         self,
@@ -129,6 +174,18 @@ class Stage:
     ) -> jnp.ndarray:
         cond = tuple(jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids)
         has_init = init_pred_ids is not None
+        init = init_pred_ids if has_init else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
+        if self.quantized:
+            fn = _jitted_generate_quantized(
+                self.model,
+                int(max_time_steps),
+                has_init,
+                float(filter_thres),
+                float(temperature),
+                bool(allow_eos_in_output),
+                bool(include_eos_in_output),
+            )
+            return fn(self.params, self._get_qparams(), cond, init, key)
         fn = _jitted_generate(
             self.model,
             int(max_time_steps),
@@ -138,7 +195,6 @@ class Stage:
             bool(allow_eos_in_output),
             bool(include_eos_in_output),
         )
-        init = init_pred_ids if has_init else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
         return fn(self.params, cond, init, key)
 
     def loss(

@@ -120,3 +120,22 @@ def test_generate_quantized_end_to_end():
     assert q.min() >= 0 and q.max() < CB
     agreement = (q == fp).mean()
     assert agreement > 0.5, f"int8 argmax agreement too low: {agreement}"
+
+
+def test_stage_quantized_flag():
+    import dataclasses as dc
+
+    from open_musiclm_tpu.models.stages import Stage
+    from open_musiclm_tpu.models.token_cond import StageLossConfig
+
+    model = make_model()
+    ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    stage = Stage(model, params, StageLossConfig(cross_entropy_loss_weights=(0.0, 1.0)))
+    qstage = dc.replace(stage, quantized=True)
+    cond = [jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, CB)]
+
+    fp = stage.generate(cond, jax.random.PRNGKey(2), max_time_steps=3, temperature=0.0)
+    q = qstage.generate(cond, jax.random.PRNGKey(2), max_time_steps=3, temperature=0.0)
+    assert fp.shape == q.shape
+    assert (np.asarray(fp) == np.asarray(q)).mean() > 0.5
