@@ -83,8 +83,16 @@ def quant_decode_step(
     pos: jnp.ndarray,
     bias_table: Optional[jnp.ndarray],
     matmul: Callable = int8_matmul,
+    fused_ff: bool = False,
 ):
-    """One decode step with int8 weights. Returns (normed h [b, dim], cache)."""
+    """One decode step with int8 weights. Returns (normed h [b, dim], cache).
+
+    ``fused_ff=True`` runs the conv-FF block (88 % of the step's weight
+    bytes) through the single-launch fused kernel (ops/fused_ff.py) while
+    attention uses plain XLA bf16 matmuls — the best-measured serving config.
+    """
+    from ..ops.fused_ff import fused_ff_int8, fused_ff_int8_xla
+
     t = params["params"]["transformer"]
     d = model.dim_head
     heads = model.heads
@@ -93,8 +101,13 @@ def quant_decode_step(
     for l in range(model.depth):
         a, qa = t[f"attn_{l}"], qparams[f"attn_{l}"]
         h = _ln(x, a["norm"]["gamma"])
-        qv = matmul(h, *qa["to_q"])  # [b, heads*d]
-        kv = matmul(h, *qa["to_kv"])  # [b, 2d]
+        if fused_ff:
+            # attention weights stay bf16/XLA (they are ~12 % of the bytes)
+            qv = h @ a["to_q"]["kernel"].astype(h.dtype)
+            kv = h @ a["to_kv"]["kernel"].astype(h.dtype)
+        else:
+            qv = matmul(h, *qa["to_q"])  # [b, heads*d]
+            kv = matmul(h, *qa["to_kv"])  # [b, 2d]
         b = x.shape[0]
         qh = qv.reshape(b, heads, d)
         k_t, v_t = jnp.split(kv, 2, axis=-1)
@@ -105,22 +118,40 @@ def quant_decode_step(
         attn = shared_kv_decode_step(
             qh, k_c, v_c, pos, scale=8.0, bias_table=bias_table, key_mask=cache["mask"]
         )
-        x = x + matmul(attn, *qa["to_out"])
+        if fused_ff:
+            x = x + attn @ a["to_out"]["kernel"].astype(attn.dtype)
+        else:
+            x = x + matmul(attn, *qa["to_out"])
 
         f, qf = t[f"ff_{l}"], qparams[f"ff_{l}"]
-        h2 = _ln(x, f["norm_in"]["gamma"])
-        u_t = matmul(h2, *qf["proj_in"])  # [b, 2*inner]
-        w = f["conv_w"].astype(u_t.dtype)
         ff_state = cache["ff"][l]
-        conv = ff_state[:, 0] * w[0] + ff_state[:, 1] * w[1] + u_t * w[2]
-        val, gate = jnp.split(conv, 2, axis=-1)
-        g = jax.nn.gelu(gate, approximate=False) * val
-        g = _ln(g, f["norm_mid"]["gamma"])
-        x = x + matmul(g, *qf["proj_out"])
+        if fused_ff:
+            ff_fn = fused_ff_int8 if matmul is int8_matmul else fused_ff_int8_xla
+            x, new_state = ff_fn(
+                x,
+                f["norm_in"]["gamma"],
+                qf["proj_in"][0],
+                qf["proj_in"][1],
+                f["conv_w"],
+                ff_state,
+                f["norm_mid"]["gamma"],
+                qf["proj_out"][0],
+                qf["proj_out"][1],
+            )
+            new_ff.append(new_state)
+        else:
+            h2 = _ln(x, f["norm_in"]["gamma"])
+            u_t = matmul(h2, *qf["proj_in"])  # [b, 2*inner]
+            w = f["conv_w"].astype(u_t.dtype)
+            conv = ff_state[:, 0] * w[0] + ff_state[:, 1] * w[1] + u_t * w[2]
+            val, gate = jnp.split(conv, 2, axis=-1)
+            g = jax.nn.gelu(gate, approximate=False) * val
+            g = _ln(g, f["norm_mid"]["gamma"])
+            x = x + matmul(g, *qf["proj_out"])
+            new_ff.append(jnp.stack([ff_state[:, 1], u_t], axis=1))
 
         new_k.append(k_c)
         new_v.append(v_c)
-        new_ff.append(jnp.stack([ff_state[:, 1], u_t], axis=1))
 
     cache = {
         "k": jnp.stack(new_k),
@@ -146,6 +177,7 @@ def generate_quantized(
     include_eos_in_output: bool = False,
     append_eos_to_conditioning_tokens: bool = True,
     use_pallas: Optional[bool] = None,
+    fused_ff: bool = True,
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
     scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
@@ -208,7 +240,8 @@ def generate_quantized(
             emb = emb + pos_table[flat_idx].astype(model.dtype)
         pos = prefill_len + s
         h_last, cache = quant_decode_step(
-            model, params, qparams, emb, cache, pos, table, matmul=matmul
+            model, params, qparams, emb, cache, pos, table, matmul=matmul,
+            fused_ff=fused_ff,
         )
         return (cache, h_last, sampled, rng), None
 
