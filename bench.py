@@ -49,6 +49,15 @@ def main():
     coarse = init_stage(mc, "coarse", jax.random.fold_in(k, 2), dtype=dtype)
     fine = init_stage(mc, "fine", jax.random.fold_in(k, 3), dtype=dtype)
 
+    quantized = os.environ.get("BENCH_INT8", "1") == "1"
+    if quantized:
+        # int8 fused-FF serving mode (Stage.quantized): measured 1.25x decode
+        import dataclasses
+
+        semantic = dataclasses.replace(semantic, quantized=True)
+        coarse = dataclasses.replace(coarse, quantized=True)
+        fine = dataclasses.replace(fine, quantized=True)
+
     if os.environ.get("BENCH_PARAM_DTYPE", "bf16") == "bf16":
         # decode is weight-bandwidth-bound: bf16 weights halve HBM traffic
         import dataclasses
@@ -149,6 +158,7 @@ def main():
                     "audio_seconds_generated": round(float(audio_seconds), 2),
                     "wall_seconds": round(dt, 3),
                     "device": str(jax.devices()[0]),
+                    "int8_serving_mode": quantized,
                     **stage_rates,
                 },
             }

@@ -12,11 +12,12 @@ token parity versus the full-precision path is approximate (argmax tokens
 typically agree; guaranteed parity requires the fp path). Verified
 numerically against the flax decode step in tests.
 
-Measured on one v5e chip (coarse geometry, batch 8): 0.92x vs the bf16 path —
-the ~31 Pallas kernel launches per decode step currently offset the 2x
-weight-bandwidth saving, so this path trades a little throughput for a 2x
-smaller weight working set (useful when co-locating stages); a single fused
-per-layer mega-kernel is the follow-up that would realize the bandwidth win.
+Measured on one v5e chip (coarse geometry, batch 8):
+  * per-matmul int8 kernels (fused_ff=False): 0.92x — launch overhead
+    (~31 Pallas calls/step) offsets the bandwidth saving;
+  * fused conv-FF kernel + bf16 XLA attention (fused_ff=True, the default):
+    1.25x (38k -> 47k tok/s) — one launch covers 88 % of the weight bytes
+    at int8. This is the serving configuration `Stage(quantized=True)` uses.
 """
 
 from __future__ import annotations
@@ -59,9 +60,12 @@ def quantize_stage_params(model: TokenConditionedTransformer, params) -> Dict[st
             "to_kv": quantize_weight(a["to_kv"]["kernel"]),
             "to_out": quantize_weight(a["to_out"]["kernel"]),
         }
+        from ..ops.fused_ff import pack_ff_weights
+
         q[f"ff_{l}"] = {
             "proj_in": quantize_weight(f["proj_in"]["kernel"]),
             "proj_out": quantize_weight(f["proj_out"]["kernel"]),
+            "packed": pack_ff_weights(f),
         }
     # final-sequence logit heads: [Q, C, d] -> per-head [d, C] int8
     w = p[f"logits_{len(model.specs) - 1}"]
@@ -91,7 +95,7 @@ def quant_decode_step(
     bytes) through the single-launch fused kernel (ops/fused_ff.py) while
     attention uses plain XLA bf16 matmuls — the best-measured serving config.
     """
-    from ..ops.fused_ff import fused_ff_int8, fused_ff_int8_xla
+    from ..ops.fused_ff import fused_ff_apply, fused_ff_apply_xla
 
     t = params["params"]["transformer"]
     d = model.dim_head
@@ -126,18 +130,8 @@ def quant_decode_step(
         f, qf = t[f"ff_{l}"], qparams[f"ff_{l}"]
         ff_state = cache["ff"][l]
         if fused_ff:
-            ff_fn = fused_ff_int8 if matmul is int8_matmul else fused_ff_int8_xla
-            x, new_state = ff_fn(
-                x,
-                f["norm_in"]["gamma"],
-                qf["proj_in"][0],
-                qf["proj_in"][1],
-                f["conv_w"],
-                ff_state,
-                f["norm_mid"]["gamma"],
-                qf["proj_out"][0],
-                qf["proj_out"][1],
-            )
+            ff_fn = fused_ff_apply if matmul is int8_matmul else fused_ff_apply_xla
+            x, new_state = ff_fn(x, qf["packed"], ff_state)
             new_ff.append(new_state)
         else:
             h2 = _ln(x, f["norm_in"]["gamma"])
