@@ -37,7 +37,7 @@ def main():
     from open_musiclm_tpu.models.encodec import create_encodec_24khz, EncodecModel
     from open_musiclm_tpu.models.musiclm import MusicLM
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     output_seconds = float(os.environ.get("BENCH_SECONDS", "4"))
 
     mc = load_model_config(
