@@ -74,8 +74,15 @@ def main():
         coarse = dataclasses.replace(coarse, params=cast(coarse.params))
         fine = dataclasses.replace(fine, params=cast(fine.params))
 
-    codec = create_encodec_24khz(bandwidth=mc.encodec_cfg.bandwidth, codebook_size=mc.encodec_cfg.codebook_size)
+    codec = create_encodec_24khz(
+        bandwidth=mc.encodec_cfg.bandwidth,
+        codebook_size=mc.encodec_cfg.codebook_size,
+        dtype=jnp.bfloat16,
+    )
     codec_params = codec.init(jax.random.PRNGKey(4), jnp.zeros((1, 2400)))
+    codec_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, codec_params
+    )
 
     musiclm = MusicLM(
         clap=None,  # bench conditions on precomputed CLAP tokens
