@@ -164,9 +164,11 @@ class StreamLSTM(nn.Module):
                 h = o * jnp.tanh(c)
                 return (h, c), h
 
+            # carry dtype must follow the actual compute dtype (params may be
+            # cast to bf16 after init)
             init = (
-                jnp.zeros((B, self.hidden), self.dtype),
-                jnp.zeros((B, self.hidden), self.dtype),
+                jnp.zeros((B, self.hidden), xp.dtype),
+                jnp.zeros((B, self.hidden), xp.dtype),
             )
             _, hs = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))
             y = jnp.swapaxes(hs, 0, 1)
