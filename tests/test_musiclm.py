@@ -191,3 +191,35 @@ def test_prime_wave_continuation(tiny_musiclm):
         **GEN_KW,
     )
     assert wave.ndim == 2 and np.all(np.isfinite(np.asarray(wave)))
+
+
+def test_overlapping_fine_windows_continuation(tiny_musiclm):
+    """fine_sliding_window_step_percent < 1 exercises the sequential fine
+    loop with continuation prefixes (reference open_musiclm.py:1002-1023)."""
+    wave = tiny_musiclm.generate(
+        key=jax.random.PRNGKey(5),
+        text=["overlapping fine"],
+        output_seconds=3,
+        semantic_window_seconds=2,
+        coarse_window_seconds=1,
+        fine_window_seconds=1,
+        semantic_steps_per_second=10,
+        acoustic_steps_per_second=16,
+        fine_sliding_window_step_percent=0.5,
+    )
+    assert wave.ndim == 2 and np.all(np.isfinite(np.asarray(wave)))
+
+
+def test_custom_sliding_percent_coarse(tiny_musiclm):
+    wave = tiny_musiclm.generate(
+        key=jax.random.PRNGKey(6),
+        text=["custom overlap"],
+        output_seconds=3,
+        semantic_window_seconds=2,
+        coarse_window_seconds=1,
+        fine_window_seconds=1,
+        semantic_steps_per_second=10,
+        acoustic_steps_per_second=16,
+        coarse_sliding_window_step_percent=0.75,
+    )
+    assert wave.ndim == 2 and np.all(np.isfinite(np.asarray(wave)))
