@@ -215,3 +215,54 @@ def test_stage_transformer_import_structure():
     logits = model.apply(params, ids)
     assert logits[-1].shape == (1, 5, 17)
     assert np.all(np.isfinite(np.asarray(logits[-1])))
+
+
+def test_rvq_import_from_vq_pytorch_layout():
+    """vector_quantize_pytorch ResidualVQ state dict (both 2D and 3D codebook
+    layouts) -> RVQState; nearest-code lookup agrees with direct argmin."""
+    rs = np.random.RandomState(0)
+    Q, K, D = 3, 8, 4
+    embeds = rs.randn(Q, K, D).astype(np.float32)
+    for three_d in [False, True]:
+        sd = {}
+        for q in range(Q):
+            e = embeds[q][None] if three_d else embeds[q]
+            sd[f"layers.{q}._codebook.embed"] = e
+            sd[f"layers.{q}._codebook.cluster_size"] = np.ones((1, K)) if three_d else np.ones(K)
+            sd[f"layers.{q}._codebook.embed_avg"] = e.copy()
+        state = it.import_rvq(sd)
+        assert state.codebooks.shape == (Q, K, D)
+        np.testing.assert_allclose(np.asarray(state.codebooks), embeds, atol=1e-6)
+
+        from open_musiclm_tpu.models.rvq import rvq_encode
+
+        x = jnp.asarray(rs.randn(5, D).astype(np.float32))
+        idx = rvq_encode(state, x)
+        # first-stage index == plain nearest centroid
+        d2 = ((np.asarray(x)[:, None, :] - embeds[0][None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(idx[:, 0]), d2.argmin(1))
+
+
+def test_load_stage_orbax_roundtrip(tmp_path):
+    """Trainer checkpoint -> load_stage restores identical params."""
+    from open_musiclm_tpu.checkpoint import save_checkpoint
+    from open_musiclm_tpu.load import load_stage_params
+
+    specs = (TokenSequenceSpec(8, 1), TokenSequenceSpec(8, 1))
+    model = TokenConditionedTransformer(specs=specs, dim=16, depth=1, heads=2, dim_head=8)
+    ids = [jnp.zeros((1, 3), jnp.int32), jnp.zeros((1, 3), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    # params-only checkpoint
+    p1 = tmp_path / "stage.params.ckpt"
+    save_checkpoint(str(p1), params)
+    got = load_stage_params(str(p1), model)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # TrainState-style checkpoint ({"params": ..., "opt_state": ..., "step"})
+    p2 = tmp_path / "stage.train.ckpt"
+    save_checkpoint(str(p2), {"params": params, "step": np.int32(7)})
+    got2 = load_stage_params(str(p2), model)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(got2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
