@@ -34,6 +34,11 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--tokenizer_path", default=None, help="dir with vocab.json+merges.txt")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument(
+        "--int8", action="store_true",
+        help="int8 fused-FF serving mode for the stage decoders (faster, "
+        "approximate token parity)",
+    )
 
 
 def add_training_args(p: argparse.ArgumentParser):
@@ -54,7 +59,7 @@ def build_musiclm(args):
     from open_musiclm_tpu.load import create_musiclm_from_config
 
     mc = load_model_config(args.model_config)
-    return create_musiclm_from_config(
+    musiclm = create_musiclm_from_config(
         mc,
         semantic_path=args.semantic_path,
         coarse_path=args.coarse_path,
@@ -67,4 +72,14 @@ def build_musiclm(args):
         tokenizer_path=args.tokenizer_path,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
-    ), mc
+    )
+    if getattr(args, "int8", False):
+        import dataclasses
+
+        musiclm = dataclasses.replace(
+            musiclm,
+            semantic_stage=dataclasses.replace(musiclm.semantic_stage, quantized=True),
+            coarse_stage=dataclasses.replace(musiclm.coarse_stage, quantized=True),
+            fine_stage=dataclasses.replace(musiclm.fine_stage, quantized=True),
+        )
+    return musiclm, mc
