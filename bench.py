@@ -102,11 +102,11 @@ def main():
 
     import numpy as np
 
-    def run(key):
+    def run(key, seconds, clap_ids):
         wave = musiclm.generate(
             key=key,
-            clap_token_ids=clap_tokens,
-            output_seconds=output_seconds,
+            clap_token_ids=clap_ids,
+            output_seconds=seconds,
             semantic_window_seconds=int(mc.global_cfg.semantic_audio_length_seconds),
             coarse_window_seconds=int(mc.global_cfg.coarse_audio_length_seconds),
             fine_window_seconds=int(mc.global_cfg.fine_audio_length_seconds),
@@ -116,14 +116,71 @@ def main():
         return np.asarray(wave)
 
     # warmup (compiles every window geometry)
-    wave = run(jax.random.PRNGKey(10))
+    wave = run(jax.random.PRNGKey(10), output_seconds, clap_tokens)
 
     t0 = time.perf_counter()
-    wave = run(jax.random.PRNGKey(11))
+    wave = run(jax.random.PRNGKey(11), output_seconds, clap_tokens)
     dt = time.perf_counter() - t0
 
     audio_seconds = wave.shape[0] * wave.shape[1] / codec.sample_rate
     value = audio_seconds / dt
+
+    # ---- long-form lane: multi-window semantic continuation + CLAP text ----
+    # exercises the sequential sliding-window loops (models/musiclm.py) the
+    # short-clip lane never enters, with the CLAP text tower (RoBERTa-base +
+    # RVQ) inside the timed path (VERDICT r1 weak #2/#5)
+    long_seconds = float(os.environ.get("BENCH_LONG_SECONDS", "16"))
+    long_detail = {}
+    if long_seconds > 0:
+        from open_musiclm_tpu.models.clap.clap import CLAP, ClapQuantized
+        from open_musiclm_tpu.models.clap.htsat import HTSATConfig
+        from open_musiclm_tpu.models.clap.roberta import RobertaConfig
+        from open_musiclm_tpu.models.rvq import rvq_init
+
+        clap_model = CLAP(
+            audio_cfg=HTSATConfig(enable_fusion=mc.clap_rvq_cfg.enable_fusion),
+            text_cfg=RobertaConfig(),
+            dtype=jnp.bfloat16,
+        )
+        ids0 = jnp.zeros((batch, 77), jnp.int32)
+        text_vars = clap_model.init(
+            jax.random.PRNGKey(6),
+            jnp.zeros((batch, 480000)),
+            ids0,
+            jnp.ones_like(ids0),
+        )
+        clap = ClapQuantized(
+            model=clap_model,
+            params=text_vars,
+            rvq=rvq_init(
+                mc.clap_rvq_cfg.rq_num_quantizers,
+                mc.clap_rvq_cfg.codebook_size,
+                512,
+                jax.random.PRNGKey(7),
+            ),
+            num_quantizers=mc.clap_rvq_cfg.rq_num_quantizers,
+            codebook_size=mc.clap_rvq_cfg.codebook_size,
+        )
+        input_ids = jax.random.randint(jax.random.PRNGKey(8), (batch, 77), 0, 50000)
+        attn_mask = jnp.ones_like(input_ids)
+        tok_fn = jax.jit(lambda i, m: clap.tokenize_text(i, m))
+
+        def run_long(key):
+            ids = tok_fn(input_ids, attn_mask)  # text tower + RVQ, timed
+            return run(key, long_seconds, ids)
+
+        run_long(jax.random.PRNGKey(12))  # warmup long-window geometries
+        t0 = time.perf_counter()
+        wave_l = run_long(jax.random.PRNGKey(13))
+        dt_l = time.perf_counter() - t0
+        audio_l = wave_l.shape[0] * wave_l.shape[1] / codec.sample_rate
+        long_detail = {
+            "long_form_rt": round(audio_l / dt_l, 4),
+            "long_form_seconds": long_seconds,
+            "long_form_audio_seconds": round(float(audio_l), 2),
+            "long_form_wall_seconds": round(dt_l, 3),
+            "long_form_includes_clap_text": True,
+        }
 
     # secondary metric: per-stage AR decode rates (tokens/sec) at one window
     def stage_rate(stage, cond_shapes, T, temp):
@@ -167,6 +224,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "int8_serving_mode": quantized,
                     **stage_rates,
+                    **long_detail,
                 },
             }
         )

@@ -271,8 +271,14 @@ def build_encodec(mc: MusicLMModelConfig, dtype=jnp.float32) -> EncodecModel:
 
 
 def build_clap(mc: MusicLMModelConfig, dtype=jnp.float32) -> CLAP:
-    audio_cfg = HTSATConfig(
-        enable_fusion=mc.clap_rvq_cfg.enable_fusion, fusion_type="aff_2d"
+    from .models.clap.model_configs import audio_config_from_name
+
+    # amodel_type resolves through the per-arch preset registry
+    # (reference laion_clap factory.py:16-46 + model_configs/*.json)
+    audio_cfg = audio_config_from_name(
+        mc.clap_rvq_cfg.amodel_type,
+        enable_fusion=mc.clap_rvq_cfg.enable_fusion,
+        fusion_type="aff_2d",
     )
     return CLAP(audio_cfg=audio_cfg, text_cfg=RobertaConfig(), dtype=dtype)
 

@@ -55,6 +55,43 @@ def sample_top_k_gumbel(
     return gumbel_sample(key, top_k_filter(logits, filter_thres), temperature)
 
 
+def sample_top_k_gumbel_per_row(
+    row_keys: jax.Array,  # [b] independent keys, one per batch row
+    logits: jnp.ndarray,  # [b, C]
+    temperature: float = 1.0,
+    filter_thres: float = 0.9,
+) -> jnp.ndarray:
+    """Per-row-keyed sampling: row i's outcome is a function of row_keys[i]
+    and logits[i] ONLY — independent of batch composition. Serving uses this
+    so a request's audio is determined by its own seed, not by which batch
+    it landed in."""
+    filt = top_k_filter(logits, filter_thres)
+    if isinstance(temperature, (int, float)) and temperature == 0.0:
+        return jnp.argmax(filt, axis=-1)
+    u = jax.vmap(
+        lambda k, row: jax.random.uniform(k, row.shape, dtype=row.dtype)
+    )(row_keys, filt)
+    noise = -log(-log(u))
+    return jnp.argmax(filt / temperature + noise, axis=-1)
+
+
+def split_row_keys(row_keys: jax.Array) -> tuple:
+    """vmap'd split: [b] keys -> ([b] subkeys, [b] new carry keys)."""
+    pairs = jax.vmap(lambda k: jax.random.split(k, 2))(row_keys)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def fold_in_rows(row_keys: jax.Array, *data: int) -> jax.Array:
+    """vmap'd fold_in of one or more constants into each row key."""
+
+    def fold(k):
+        for d in data:
+            k = jax.random.fold_in(k, d)
+        return k
+
+    return jax.vmap(fold)(row_keys)
+
+
 def mask_out_after_eos_id(
     ids: jnp.ndarray, eos_id: int, mask_value: int = -1, keep_eos: bool = True
 ) -> jnp.ndarray:

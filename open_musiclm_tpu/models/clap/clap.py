@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..rvq import RVQState, rvq_encode, rvq_update
+from .fusion import build_mel_fusion
 from .htsat import HTSAT, HTSATConfig
+from .mel import logmel
 from .roberta import RobertaConfig, RobertaModel
 
 JOINT_EMBED = 512
@@ -32,6 +34,26 @@ JOINT_EMBED = 512
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def wav_to_mel_fusion(cfg: "HTSATConfig", wav: jnp.ndarray):
+    """[B, T] wav -> ([B, 4, chunk_frames, mels] stack, [B] ``longer``).
+
+    ``longer`` is a static property of the input length (T > clip_samples),
+    matching the laion hook's is-long decision (hook.py:164-189)."""
+    mel = logmel(
+        wav,
+        sr=cfg.sample_rate,
+        n_fft=cfg.window_size_fft,
+        hop=cfg.hop_size,
+        n_mels=cfg.mel_bins,
+        fmin=cfg.fmin,
+        fmax=cfg.fmax,
+    )  # [B, frames, mels]
+    chunk_frames = cfg.clip_samples // cfg.hop_size + 1
+    stacks = jax.vmap(lambda m: build_mel_fusion(m, chunk_frames))(mel)
+    longer = jnp.full((wav.shape[0],), bool(wav.shape[-1] > cfg.clip_samples))
+    return stacks, longer
 
 
 class Projection(nn.Module):
@@ -72,7 +94,25 @@ class CLAP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.audio_branch = HTSAT(cfg=self.audio_cfg, dtype=self.dtype, name="audio_branch")
+        from .model_configs import PANNConfig
+        from .pann import PANN
+
+        if isinstance(self.audio_cfg, PANNConfig):
+            # alternative CNN tower (model.py:464-470, PANN-* presets)
+            self.audio_branch = PANN(
+                arch=self.audio_cfg.arch,
+                num_classes=self.audio_cfg.num_classes,
+                sample_rate=self.audio_cfg.sample_rate,
+                window_size_fft=self.audio_cfg.window_size_fft,
+                hop_size=self.audio_cfg.hop_size,
+                mel_bins=self.audio_cfg.mel_bins,
+                fmin=self.audio_cfg.fmin,
+                fmax=self.audio_cfg.fmax,
+                dtype=self.dtype,
+                name="audio_branch",
+            )
+        else:
+            self.audio_branch = HTSAT(cfg=self.audio_cfg, dtype=self.dtype, name="audio_branch")
         self.text_branch = RobertaModel(cfg=self.text_cfg, dtype=self.dtype, name="text_branch")
         self.audio_projection = Projection(self.joint_embed_shape, dtype=self.dtype, name="audio_projection")
         self.text_projection = Projection(self.joint_embed_shape, dtype=self.dtype, name="text_projection")
@@ -86,9 +126,18 @@ class CLAP(nn.Module):
         )
 
     def get_audio_embedding(self, wav: jnp.ndarray) -> jnp.ndarray:
-        """[B, T] 48 kHz (already padded/cropped to clip_samples) ->
-        normalized [B, 512] (hook.py:256-284 -> model.py:720-741)."""
-        out = self.audio_branch(wav)
+        """[B, T] 48 kHz -> normalized [B, 512] (hook.py:256-284 ->
+        model.py:720-741).
+
+        Fusion-mode CLAP (musiclm_large, enable_fusion) ALWAYS goes through
+        the 4-view mel-fusion patch embed — even clip-length audio, with
+        ``longer=False`` (laion hook.py:164-254); the wav is converted to the
+        stack here so every caller path shares one parameter structure."""
+        if self.audio_cfg.enable_fusion:
+            mel_fusion, longer = wav_to_mel_fusion(self.audio_cfg, wav)
+            out = self.audio_branch(mel_fusion=mel_fusion, longer=longer)
+        else:
+            out = self.audio_branch(wav)
         emb = self.audio_projection(out["embedding"])
         return l2_normalize(emb)
 
@@ -182,7 +231,12 @@ class ClapQuantized:
         )
 
     def audio_embedding(self, wav: jnp.ndarray) -> jnp.ndarray:
-        wav = prepare_clap_audio(int16_round_trip(wav), self.clip_samples)
+        wav = int16_round_trip(wav)
+        fusion = self.model.audio_cfg.enable_fusion
+        if not (fusion and wav.shape[-1] > self.clip_samples):
+            # short clips: repeatpad/crop to clip length; fusion-long clips
+            # keep their full length (the mel-fusion stack consumes it)
+            wav = prepare_clap_audio(wav, self.clip_samples)
         return self.model.apply(self.params, wav, method=CLAP.get_audio_embedding)
 
     def quantize(self, embedding: jnp.ndarray) -> jnp.ndarray:

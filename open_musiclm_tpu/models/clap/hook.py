@@ -17,8 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clap import CLAP, int16_round_trip, prepare_clap_audio
-from .fusion import build_mel_fusion
-from .mel import logmel
 
 
 @dataclasses.dataclass
@@ -58,27 +56,14 @@ class ClapModule:
 
     def get_audio_embedding_from_data(self, wavs: jnp.ndarray) -> jnp.ndarray:
         """[B, T] float waveforms at 48 kHz -> normalized [B, 512]
-        (hook.py:256-284). Long clips: fusion mode when enabled, else crop."""
+        (hook.py:256-284). Long clips: fusion mode when enabled, else crop.
+
+        ``CLAP.get_audio_embedding`` is fusion-aware (it builds the 4-view
+        mel stack itself for fusion models), so both short and long clips
+        route through one jitted wav entry point."""
         wavs = int16_round_trip(jnp.asarray(wavs))
-        T = wavs.shape[-1]
-        if self.enable_fusion and T > self.clip_samples:
-            cfg = self.model.audio_cfg
-            mel = logmel(
-                wavs,
-                sr=cfg.sample_rate,
-                n_fft=cfg.window_size_fft,
-                hop=cfg.hop_size,
-                n_mels=cfg.mel_bins,
-                fmin=cfg.fmin,
-                fmax=cfg.fmax,
-            )
-            chunk_frames = self.clip_samples // cfg.hop_size + 1
-            stacks = jnp.stack(
-                [build_mel_fusion(mel[b], chunk_frames) for b in range(mel.shape[0])]
-            )
-            longer = jnp.ones((wavs.shape[0],), bool)
-            return self._audio_fusion_fn(self.params, stacks, longer)
-        wavs = prepare_clap_audio(wavs, self.clip_samples)
+        if not (self.enable_fusion and wavs.shape[-1] > self.clip_samples):
+            wavs = prepare_clap_audio(wavs, self.clip_samples)
         return self._audio_fn(self.params, wavs)
 
     def get_audio_embedding_from_filelist(self, paths: List[str]) -> jnp.ndarray:

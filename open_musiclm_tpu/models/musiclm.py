@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.sampling import fold_in_rows
 from ..ops.audio import prepare_audio, resample, int16_round_trip
 from .clap.clap import ClapQuantized
 from .encodec import EncodecModel
@@ -64,7 +65,11 @@ class MusicLM:
     # ---- tokenizers ----
 
     def clap_tokens_from_text(self, text: List[str]) -> jnp.ndarray:
-        assert self.tokenizer is not None, "text path needs a tokenizer"
+        assert self.tokenizer is not None, (
+            "text prompts need a tokenizer: pass --tokenizer_path (a dir "
+            "with roberta-base vocab.json + merges.txt) or supply "
+            "precomputed clap_token_ids"
+        )
         enc = self.tokenizer(text)
         return self.clap.tokenize_text(
             jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])
@@ -75,7 +80,7 @@ class MusicLM:
     def generate(
         self,
         *,
-        key: jax.Array,
+        key: Optional[jax.Array] = None,
         text: Optional[List[str]] = None,
         clap_token_ids: Optional[jnp.ndarray] = None,
         prime_wave: Optional[jnp.ndarray] = None,
@@ -93,12 +98,37 @@ class MusicLM:
         semantic_temperature: float = 1.0,
         coarse_temperature: float = 0.95,
         fine_temperature: float = 0.4,
+        semantic_filter_thres: float = 0.9,
+        coarse_filter_thres: float = 0.9,
+        fine_filter_thres: float = 0.9,
+        per_row_keys: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``per_row_keys``: optional [b] keys making row i's sampling a
+        function of its own key only — a request's audio then does not depend
+        on which serving batch it landed in (``key`` is ignored)."""
+        if output_seconds < coarse_window_seconds:
+            raise ValueError(
+                f"output_seconds={output_seconds} is shorter than the coarse "
+                f"window ({coarse_window_seconds} s): the semantic->coarse "
+                "unfold would produce zero windows (same constraint as the "
+                "reference's torch.unfold, open_musiclm.py:954-960). "
+                "Generate at least one coarse window."
+            )
         if clap_token_ids is None:
             assert text is not None
             clap_token_ids = self.clap_tokens_from_text(text)
 
-        keys = jax.random.split(key, 4)
+        if per_row_keys is None:
+            assert key is not None, "need `key` or `per_row_keys`"
+            keys = jax.random.split(key, 4)
+        else:
+            keys = None
+
+        def stage_rng(stage_idx: int, win_idx: int):
+            """(single key, per-row keys) pair for one stage/window call."""
+            if per_row_keys is not None:
+                return None, fold_in_rows(per_row_keys, stage_idx, win_idx)
+            return jax.random.fold_in(keys[stage_idx], win_idx), None
 
         # ---- audio-prompt continuation state (:888-926) ----
         all_cond_coarse = all_cond_fine = None
@@ -149,12 +179,15 @@ class MusicLM:
         first_T = int(
             min(output_seconds, semantic_window_seconds) * semantic_steps_per_second
         )
+        k0, rk0 = stage_rng(0, 0)
         sem = self.semantic_stage.generate(
             [clap_token_ids],
-            jax.random.fold_in(keys[0], 0),
+            k0,
             max_time_steps=first_T,
             init_pred_ids=cond_semantic,
             temperature=semantic_temperature,
+            filter_thres=semantic_filter_thres,
+            per_row_keys=rk0,
         )  # [b, T, 1]
         target_sem = int(output_seconds * semantic_steps_per_second)
         win_i = 1
@@ -163,12 +196,15 @@ class MusicLM:
                 semantic_window_seconds * semantic_steps_per_second
                 * (1 - semantic_sliding_window_step_percent)
             )
+            kw, rkw = stage_rng(0, win_i)
             cont = self.semantic_stage.generate(
                 [clap_token_ids],
-                jax.random.fold_in(keys[0], win_i),
+                kw,
                 max_time_steps=int(semantic_window_seconds * semantic_steps_per_second),
                 init_pred_ids=sem[:, -cond_len:],
                 temperature=semantic_temperature,
+                filter_thres=semantic_filter_thres,
+                per_row_keys=rkw,
             )
             sem = jnp.concatenate([sem, cont[:, cond_len:]], axis=1)
             win_i += 1
@@ -187,12 +223,15 @@ class MusicLM:
         )
         for wi in range(sem_windows.shape[0]):
             init = coarse[:, -coarse_cond_len:] if coarse is not None else cond_coarse
+            kc, rkc = stage_rng(1, wi)
             pred = self.coarse_stage.generate(
                 [clap_token_ids, sem_windows[wi]],
-                jax.random.fold_in(keys[1], wi),
+                kc,
                 max_time_steps=coarse_T,
                 init_pred_ids=init,
                 temperature=coarse_temperature,
+                filter_thres=coarse_filter_thres,
+                per_row_keys=rkc,
             )  # [b, coarse_T, n_coarse]
             if coarse is None:
                 coarse = pred
@@ -223,11 +262,19 @@ class MusicLM:
             coarse_flat = coarse_windows.reshape(
                 n_windows * b, coarse_windows.shape[2], coarse_windows.shape[3]
             )
+            if per_row_keys is not None:
+                kf, rkf = None, jnp.concatenate(
+                    [fold_in_rows(per_row_keys, 2, w) for w in range(n_windows)]
+                )
+            else:
+                kf, rkf = keys[2], None
             pred = self.fine_stage.generate(
                 [clap_rep, coarse_flat],
-                keys[2],
+                kf,
                 max_time_steps=fine_window,
                 temperature=fine_temperature,
+                filter_thres=fine_filter_thres,
+                per_row_keys=rkf,
             )  # [n_windows*b, T, q]
             q = pred.shape[-1]
             pred = pred.reshape(n_windows, b, fine_window, q)
@@ -239,12 +286,15 @@ class MusicLM:
                     init = fine[:, -fine_cond_len:] if fine_cond_len > 0 else None
                 else:
                     init = cond_fine
+                kf, rkf = stage_rng(2, wi)
                 pred = self.fine_stage.generate(
                     [clap_token_ids, coarse_windows[wi]],
-                    jax.random.fold_in(keys[2], wi),
+                    kf,
                     max_time_steps=fine_window,
                     init_pred_ids=init,
                     temperature=fine_temperature,
+                    filter_thres=fine_filter_thres,
+                    per_row_keys=rkf,
                 )
                 if fine is None:
                     fine = pred

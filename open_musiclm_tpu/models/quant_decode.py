@@ -28,7 +28,14 @@ from typing import Any, Callable, Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..core.sampling import NEG_INF, append_eos_id, mask_out_after_eos_id, sample_top_k_gumbel
+from ..core.sampling import (
+    NEG_INF,
+    append_eos_id,
+    mask_out_after_eos_id,
+    sample_top_k_gumbel,
+    sample_top_k_gumbel_per_row,
+    split_row_keys,
+)
 from ..ops.attention import l2norm, shared_kv_decode_step
 from ..ops.quant import int8_matmul, int8_matmul_xla, quantize_weight
 from .token_cond import (
@@ -105,13 +112,15 @@ def quant_decode_step(
     for l in range(model.depth):
         a, qa = t[f"attn_{l}"], qparams[f"attn_{l}"]
         h = _ln(x, a["norm"]["gamma"])
+        # reference quirk: K/V project from the UN-normed residual stream,
+        # only Q from the prenormed one (reference transformer.py:228,250,254)
         if fused_ff:
             # attention weights stay bf16/XLA (they are ~12 % of the bytes)
             qv = h @ a["to_q"]["kernel"].astype(h.dtype)
-            kv = h @ a["to_kv"]["kernel"].astype(h.dtype)
+            kv = x @ a["to_kv"]["kernel"].astype(x.dtype)
         else:
             qv = matmul(h, *qa["to_q"])  # [b, heads*d]
-            kv = matmul(h, *qa["to_kv"])  # [b, 2d]
+            kv = matmul(x, *qa["to_kv"])  # [b, 2d]
         b = x.shape[0]
         qh = qv.reshape(b, heads, d)
         k_t, v_t = jnp.split(kv, 2, axis=-1)
@@ -161,7 +170,7 @@ def generate_quantized(
     params,
     qparams,
     conditioning_token_ids: Sequence[jnp.ndarray],
-    rng: jax.Array,
+    rng: Optional[jax.Array],
     *,
     max_time_steps: int,
     init_pred_ids: Optional[jnp.ndarray] = None,
@@ -172,6 +181,7 @@ def generate_quantized(
     append_eos_to_conditioning_tokens: bool = True,
     use_pallas: Optional[bool] = None,
     fused_ff: bool = True,
+    per_row_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
     scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
@@ -211,8 +221,11 @@ def generate_quantized(
     if n_init > 0:
         sampled = sampled.at[:, :n_init].set(init_flat)
 
-    emb_table = params["params"][f"embed_{len(specs) - 1}"]["embedding"]
+    emb_table = jnp.asarray(params["params"][f"embed_{len(specs) - 1}"]["embedding"])
     heads_q, heads_s = qparams["logit_heads"]
+
+    per_row = per_row_keys is not None
+    rng_carry = per_row_keys if per_row else rng
 
     def step(carry, s):
         cache, h_last, sampled, rng = carry
@@ -224,8 +237,14 @@ def generate_quantized(
         is_last_q = q_idx == (q_num - 1)
         eos_ok = jnp.logical_and(allow_eos_in_output, is_last_q)
         logits = logits.at[:, -1].set(jnp.where(eos_ok, logits[:, -1], NEG_INF))
-        rng, sub = jax.random.split(rng)
-        tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
+        if per_row:
+            sub, rng = split_row_keys(rng)
+            tok = sample_top_k_gumbel_per_row(
+                sub, logits, temperature, filter_thres
+            ).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
         sampled = jax.lax.dynamic_update_slice(sampled, tok[:, None], (0, flat_idx))
         offset = q_idx * pred_spec.codebook_size if q_num > 1 else 0
         emb = emb_table[tok + offset].astype(model.dtype)
@@ -240,7 +259,7 @@ def generate_quantized(
         return (cache, h_last, sampled, rng), None
 
     (cache, h_last, sampled, rng), _ = jax.lax.scan(
-        step, (cache, h_last, sampled, rng), jnp.arange(n_new)
+        step, (cache, h_last, sampled, rng_carry), jnp.arange(n_new)
     )
     sampled = mask_out_after_eos_id(
         sampled, eos_id, mask_value=PAD_ID, keep_eos=include_eos_in_output

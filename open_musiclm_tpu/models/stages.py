@@ -88,19 +88,21 @@ def _jitted_generate(
     temperature: float,
     allow_eos_in_output: bool,
     include_eos_in_output: bool,
+    per_row: bool = False,
 ):
     def fn(params, cond_ids, init_pred, key):
         return generate(
             model,
             params,
             list(cond_ids),
-            key,
+            None if per_row else key,
             max_time_steps=max_time_steps,
             init_pred_ids=init_pred if has_init else None,
             filter_thres=filter_thres,
             temperature=temperature,
             allow_eos_in_output=allow_eos_in_output,
             include_eos_in_output=include_eos_in_output,
+            per_row_keys=key if per_row else None,
         )
 
     return jax.jit(fn)
@@ -115,6 +117,7 @@ def _jitted_generate_quantized(
     temperature: float,
     allow_eos_in_output: bool,
     include_eos_in_output: bool,
+    per_row: bool = False,
 ):
     def fn(params, qparams, cond_ids, init_pred, key):
         from .quant_decode import generate_quantized
@@ -124,13 +127,14 @@ def _jitted_generate_quantized(
             params,
             qparams,
             list(cond_ids),
-            key,
+            None if per_row else key,
             max_time_steps=max_time_steps,
             init_pred_ids=init_pred if has_init else None,
             filter_thres=filter_thres,
             temperature=temperature,
             allow_eos_in_output=allow_eos_in_output,
             include_eos_in_output=include_eos_in_output,
+            per_row_keys=key if per_row else None,
         )
 
     return jax.jit(fn)
@@ -171,10 +175,15 @@ class Stage:
         temperature: float = 1.0,
         allow_eos_in_output: bool = False,
         include_eos_in_output: bool = False,
+        per_row_keys: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``per_row_keys``: optional [b] keys for batch-composition-
+        independent sampling (serving); ``key`` is ignored when given."""
         cond = tuple(jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids)
         has_init = init_pred_ids is not None
         init = init_pred_ids if has_init else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
+        per_row = per_row_keys is not None
+        key_arg = per_row_keys if per_row else key
         if self.quantized:
             fn = _jitted_generate_quantized(
                 self.model,
@@ -184,8 +193,9 @@ class Stage:
                 float(temperature),
                 bool(allow_eos_in_output),
                 bool(include_eos_in_output),
+                per_row,
             )
-            return fn(self.params, self._get_qparams(), cond, init, key)
+            return fn(self.params, self._get_qparams(), cond, init, key_arg)
         fn = _jitted_generate(
             self.model,
             int(max_time_steps),
@@ -194,8 +204,9 @@ class Stage:
             float(temperature),
             bool(allow_eos_in_output),
             bool(include_eos_in_output),
+            per_row,
         )
-        return fn(self.params, cond, init, key)
+        return fn(self.params, cond, init, key_arg)
 
     def loss(
         self,

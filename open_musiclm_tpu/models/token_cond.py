@@ -32,6 +32,8 @@ from ..core.sampling import (
     append_eos_id,
     mask_out_after_eos_id,
     sample_top_k_gumbel,
+    sample_top_k_gumbel_per_row,
+    split_row_keys,
 )
 from ..core.masks import forgetful_causal_mask
 from ..core.sequence import SequenceLayout, TokenSequenceSpec
@@ -321,7 +323,7 @@ def generate(
     model: TokenConditionedTransformer,
     params,
     conditioning_token_ids: Sequence[jnp.ndarray],
-    rng: jax.Array,
+    rng: Optional[jax.Array],
     *,
     max_time_steps: int,
     init_pred_ids: Optional[jnp.ndarray] = None,
@@ -330,12 +332,17 @@ def generate(
     allow_eos_in_output: bool = False,
     include_eos_in_output: bool = False,
     append_eos_to_conditioning_tokens: bool = True,
+    per_row_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample the final sequence given conditioning sequences.
 
     conditioning_token_ids: flattened [b, n_i] for all but the final spec.
     init_pred_ids: [b, t0, Q] or [b, t0*Q] already-generated prefix (sliding
     window continuation). Returns [b, max_time_steps, Q].
+
+    per_row_keys: optional [b] keys; when given, row i's sampling depends on
+    per_row_keys[i] only (batch-composition-independent serving randomness)
+    and ``rng`` is ignored.
     """
     specs = model.specs
     assert len(conditioning_token_ids) == len(specs) - 1
@@ -379,12 +386,19 @@ def generate(
         """Embed one sampled token of the final sequence ([b] -> [b, dim])."""
         q_idx = flat_idx % q_num
         offset = q_idx * pred_spec.codebook_size if q_num > 1 else 0
-        emb_table = params["params"][f"embed_{len(specs) - 1}"]["embedding"]
+        # jnp.asarray: imported checkpoints may carry numpy leaves, which
+        # cannot be indexed by tracers inside the scan
+        emb_table = jnp.asarray(params["params"][f"embed_{len(specs) - 1}"]["embedding"])
         emb = emb_table[tok + offset].astype(model.dtype)
         if model.use_absolute_position_embeddings:
-            pos_table = params["params"][f"abs_pos_embed_{len(specs) - 1}"]["embedding"]
+            pos_table = jnp.asarray(
+                params["params"][f"abs_pos_embed_{len(specs) - 1}"]["embedding"]
+            )
             emb = emb + pos_table[flat_idx].astype(model.dtype)
         return emb
+
+    per_row = per_row_keys is not None
+    rng_carry = per_row_keys if per_row else rng
 
     def step(carry, s):
         cache, h_last, sampled, rng = carry
@@ -396,8 +410,14 @@ def generate(
         logits = logits.at[:, -1].set(
             jnp.where(eos_ok, logits[:, -1], NEG_INF)
         )
-        rng, sub = jax.random.split(rng)
-        tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
+        if per_row:
+            sub, rng = split_row_keys(rng)
+            tok = sample_top_k_gumbel_per_row(
+                sub, logits, temperature, filter_thres
+            ).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
         sampled = jax.lax.dynamic_update_slice(sampled, tok[:, None], (0, flat_idx))
         emb = embed_pred_token(tok, flat_idx)
         pos = prefill_len + s
@@ -407,7 +427,7 @@ def generate(
         return (cache, h_last, sampled, rng), None
 
     (cache, h_last, sampled, rng), _ = jax.lax.scan(
-        step, (cache, h_last, sampled, rng), jnp.arange(n_new)
+        step, (cache, h_last, sampled, rng_carry), jnp.arange(n_new)
     )
 
     sampled = mask_out_after_eos_id(

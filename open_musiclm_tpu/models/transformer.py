@@ -84,11 +84,20 @@ class Attention(nn.Module):
         self.k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
         self.to_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")
 
-    def _qkv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """x: [b, n, dim] (already pre-normed). Returns processed q, k, v."""
-        b, n, _ = x.shape
-        q = self.to_q(x).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        kv = self.to_kv(x)
+    def _qkv(
+        self, h: jnp.ndarray, x_raw: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """h: pre-normed [b, n, dim]; x_raw: the UN-normed input.
+
+        Reference quirk (transformer.py:228,250,254): ``kv_input`` is captured
+        *before* the prenorm, so K/V project from the raw residual stream
+        while Q projects from the normed one. Reproduced for checkpoint
+        parity (verified against the reference code in
+        tests/test_reference_parity.py).
+        """
+        b, n, _ = h.shape
+        q = self.to_q(h).reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        kv = self.to_kv(x_raw)
         k, v = jnp.split(kv, 2, axis=-1)
         q = l2norm(q) * self.q_scale.astype(self.dtype)
         k = l2norm(k) * self.k_scale.astype(self.dtype)
@@ -104,7 +113,7 @@ class Attention(nn.Module):
         return_kv: bool = False,
     ):
         h = self.norm(x)
-        q, k, v = self._qkv(h)
+        q, k, v = self._qkv(h, x)
         rng = None
         dropout_active = not deterministic and self.dropout > 0.0
         if dropout_active:
@@ -148,7 +157,7 @@ class Attention(nn.Module):
         """One token step. Returns (out [b, dim], new k_cache, new v_cache)."""
         b = x_t.shape[0]
         h = self.norm(x_t[:, None, :])  # [b, 1, dim]
-        q, k, v = self._qkv(h)
+        q, k, v = self._qkv(h, x_t[:, None, :])
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0))
         out = shared_kv_decode_step(

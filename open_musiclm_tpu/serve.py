@@ -121,8 +121,19 @@ class GenerationServer:
                     toks.append(toks[-1])
                 clap_batch = jnp.stack(toks)
 
+                # per-request seeds -> per-row keys: row i's audio is a
+                # function of reqs[i].seed only, independent of which batch
+                # (and batch slot) the request landed in; padding rows get
+                # distinct throwaway keys
+                row_keys = jnp.stack(
+                    [jax.random.PRNGKey(r.seed) for r in reqs]
+                    + [
+                        jax.random.PRNGKey(-(i + 1))
+                        for i in range(self.batch_size - n)
+                    ]
+                )
                 waves = self.musiclm.generate(
-                    key=jax.random.PRNGKey(reqs[0].seed),
+                    per_row_keys=row_keys,
                     clap_token_ids=clap_batch,
                     **self.generate_kwargs,
                 )

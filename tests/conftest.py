@@ -19,5 +19,9 @@ import jax  # noqa: E402
 # the env var alone may be latched too late; force the platform via config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", False)
+# the CPU backend's default matmul precision is a bf16-ish oneDNN fastpath
+# (~1e-3 relative error); force true fp32 so parity tests measure the math,
+# not the backend's speed default
+jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"

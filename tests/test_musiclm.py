@@ -223,3 +223,21 @@ def test_custom_sliding_percent_coarse(tiny_musiclm):
         coarse_sliding_window_step_percent=0.75,
     )
     assert wave.ndim == 2 and np.all(np.isfinite(np.asarray(wave)))
+
+
+def test_generate_shorter_than_coarse_window_raises():
+    """output_seconds < coarse window would unfold zero windows — must fail
+    with a clear error instead of a NoneType crash."""
+    from open_musiclm_tpu.models.musiclm import MusicLM
+
+    m = MusicLM(
+        clap=None, codec=None, codec_params=None,
+        semantic_stage=None, coarse_stage=None, fine_stage=None,
+    )
+    with pytest.raises(ValueError, match="coarse"):
+        m.generate(
+            key=jax.random.PRNGKey(0),
+            clap_token_ids=jnp.zeros((1, 12, 1), jnp.int32),
+            output_seconds=2,
+            coarse_window_seconds=4,
+        )

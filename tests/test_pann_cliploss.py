@@ -52,7 +52,11 @@ def test_clip_loss_mlp_runs_and_grads():
 
 def test_clip_loss_gather_under_shard_map():
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:  # jax >= 0.8: top-level; jax.experimental.shard_map is deprecated
+        from jax import shard_map
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
 
     devices = np.array(jax.devices()[:4])
     mesh = Mesh(devices, ("dp",))
@@ -61,7 +65,7 @@ def test_clip_loss_gather_under_shard_map():
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,  # jax >= 0.8 name (was check_rep)
     )
     def sharded_loss(a_shard, t_shard):
         return clip_loss(a_shard, t_shard, jnp.asarray(5.0), axis_name="dp")
