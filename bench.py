@@ -163,24 +163,30 @@ def main():
         )
         input_ids = jax.random.randint(jax.random.PRNGKey(8), (batch, 77), 0, 50000)
         attn_mask = jnp.ones_like(input_ids)
-        tok_fn = jax.jit(lambda i, m: clap.tokenize_text(i, m))
 
         def run_long(key):
-            ids = tok_fn(input_ids, attn_mask)  # text tower + RVQ, timed
+            # tokenize_text_jit passes params as jit args (a closure-captured
+            # jit overflows the axon remote-compile request body)
+            ids = clap.tokenize_text_jit(input_ids, attn_mask)
             return run(key, long_seconds, ids)
 
-        run_long(jax.random.PRNGKey(12))  # warmup long-window geometries
-        t0 = time.perf_counter()
-        wave_l = run_long(jax.random.PRNGKey(13))
-        dt_l = time.perf_counter() - t0
-        audio_l = wave_l.shape[0] * wave_l.shape[1] / codec.sample_rate
-        long_detail = {
-            "long_form_rt": round(audio_l / dt_l, 4),
-            "long_form_seconds": long_seconds,
-            "long_form_audio_seconds": round(float(audio_l), 2),
-            "long_form_wall_seconds": round(dt_l, 3),
-            "long_form_includes_clap_text": True,
-        }
+        try:
+            run_long(jax.random.PRNGKey(12))  # warmup long-window geometries
+            t0 = time.perf_counter()
+            wave_l = run_long(jax.random.PRNGKey(13))
+            dt_l = time.perf_counter() - t0
+            audio_l = wave_l.shape[0] * wave_l.shape[1] / codec.sample_rate
+            long_detail = {
+                "long_form_rt": round(audio_l / dt_l, 4),
+                "long_form_seconds": long_seconds,
+                "long_form_audio_seconds": round(float(audio_l), 2),
+                "long_form_wall_seconds": round(dt_l, 3),
+                "long_form_includes_clap_text": True,
+            }
+        except Exception as exc:  # pragma: no cover
+            # never let the long lane take down the headline metric (the axon
+            # remote-compile helper can fail on specific large programs)
+            long_detail = {"long_form_error": f"{type(exc).__name__}: {exc}"[:300]}
 
     # secondary metric: per-stage AR decode rates (tokens/sec) at one window
     def stage_rate(stage, cond_shapes, T, temp):

@@ -16,6 +16,7 @@ RVQState (models/rvq.py) so the EMA training step jits and shards.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
@@ -247,6 +248,18 @@ class ClapQuantized:
     def tokenize_text(self, input_ids, attention_mask) -> jnp.ndarray:
         return self.quantize(self.text_embedding(input_ids, attention_mask))
 
+    def tokenize_text_jit(self, input_ids, attention_mask) -> jnp.ndarray:
+        """jit-compiled tokenize_text with params passed as jit ARGUMENTS.
+
+        Never wrap the bound methods in jax.jit directly: they capture
+        ``self.params`` (~125 M floats for roberta-base) as closure
+        constants, which get inlined into the compiled HLO — under a
+        remote-compile backend (axon tunnel) that overflows the compile
+        request (HTTP 413)."""
+        return _jitted_tokenize_text(self.model)(
+            self.params, self.rvq, input_ids, attention_mask
+        )
+
     def tokenize_audio(self, wav: jnp.ndarray) -> jnp.ndarray:
         return self.quantize(self.audio_embedding(wav))
 
@@ -262,3 +275,17 @@ class ClapQuantized:
         )
         mse = jnp.mean(jnp.square(quant - embedding))
         return dataclasses.replace(self, rvq=new_state), mse
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_tokenize_text(model: CLAP):
+    """Shape-cached jit of text -> conditioning tokens; params/rvq are
+    arguments (not closure constants — see ClapQuantized.tokenize_text_jit)."""
+
+    def fn(params, rvq: RVQState, input_ids, attention_mask):
+        emb = model.apply(
+            params, input_ids, attention_mask, method=CLAP.get_text_embedding
+        )
+        return rvq_encode(rvq, emb)[..., None].astype(jnp.int32)
+
+    return jax.jit(fn)

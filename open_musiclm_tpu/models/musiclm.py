@@ -41,9 +41,46 @@ def unfold_windows(x: jnp.ndarray, window: int, step: int) -> jnp.ndarray:
     return jnp.transpose(x[:, idx], (1, 0, 2, 3))
 
 
+def _gather_span(segments: Sequence[jnp.ndarray], start: int, length: int) -> jnp.ndarray:
+    """Slice [start, start+length) out of a virtual concatenation of per-window
+    ``segments`` ([b, L_i, q]) WITHOUT materializing the full concat.
+
+    Value-identical to ``jnp.concatenate(segments, 1)[:, start:start+length]``,
+    but the result's dataflow depends only on the segments it overlaps — so a
+    coarse window dispatched from the first semantic window does not wait for
+    the whole semantic sliding-window loop (3-stage decode pipelining; the
+    reference's loops fully serialize, open_musiclm.py:938-1023)."""
+    parts = []
+    off = 0
+    for seg in segments:
+        L = seg.shape[1]
+        lo, hi = max(start, off), min(start + length, off + L)
+        if lo < hi:
+            parts.append(seg[:, lo - off : hi - off])
+        off += L
+    assert parts and sum(p.shape[1] for p in parts) == length, (
+        f"span [{start}, {start + length}) outside segments (total {off})"
+    )
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _put(x: Optional[jnp.ndarray], device) -> Optional[jnp.ndarray]:
+    """device_put when a stage device is set; identity otherwise/on None."""
+    if x is None or device is None:
+        return x
+    return jax.device_put(x, device)
+
+
 @dataclasses.dataclass
 class MusicLM:
-    """Full inference model. ``codec_params`` are the Encodec weights."""
+    """Full inference model. ``codec_params`` are the Encodec weights.
+
+    ``stage_devices``: optional ``(semantic, coarse, fine, codec)`` devices.
+    When set (see :meth:`to_pipelined`), each stage's params and inputs live
+    on its own device and the host dispatches all three sliding-window loops
+    without blocking — JAX async dispatch then overlaps window w's coarse
+    decode with window w+1's semantic decode across the devices (the
+    reference's loops serialize on one GPU, open_musiclm.py:938-1023)."""
 
     clap: ClapQuantized
     codec: EncodecModel
@@ -53,6 +90,7 @@ class MusicLM:
     fine_stage: Stage
     wav2vec: Optional[HubertWithKmeans] = None
     tokenizer: Any = None  # host-side text tokenizer (clap.tokenizer)
+    stage_devices: Optional[Tuple[Any, Any, Any, Any]] = None
 
     def __post_init__(self):
         self._decode = jax.jit(
@@ -60,6 +98,26 @@ class MusicLM:
         )
         self._encode = jax.jit(
             lambda p, w: self.codec.apply(p, w, method=EncodecModel.encode)
+        )
+
+    def to_pipelined(self, devices: Sequence[Any]) -> "MusicLM":
+        """Return a copy with semantic/coarse/fine/codec placed on their own
+        devices (``devices[i % len(devices)]``) for cross-stage pipelining.
+        One device degenerates to the unpipelined layout."""
+        devs = tuple(devices[i % len(devices)] for i in range(4))
+        return dataclasses.replace(
+            self,
+            semantic_stage=dataclasses.replace(
+                self.semantic_stage, params=jax.device_put(self.semantic_stage.params, devs[0])
+            ),
+            coarse_stage=dataclasses.replace(
+                self.coarse_stage, params=jax.device_put(self.coarse_stage.params, devs[1])
+            ),
+            fine_stage=dataclasses.replace(
+                self.fine_stage, params=jax.device_put(self.fine_stage.params, devs[2])
+            ),
+            codec_params=jax.device_put(self.codec_params, devs[3]),
+            stage_devices=devs,
         )
 
     # ---- tokenizers ----
@@ -175,57 +233,86 @@ class MusicLM:
             )
             fine_adj = fine_len
 
+        dev_sem, dev_coarse, dev_fine, dev_codec = self.stage_devices or (None,) * 4
+        clap_sem = _put(clap_token_ids, dev_sem)
+        clap_coarse = _put(clap_token_ids, dev_coarse)
+        clap_fine = _put(clap_token_ids, dev_fine)
+        cond_semantic = _put(cond_semantic, dev_sem)
+        cond_coarse = _put(cond_coarse, dev_coarse)
+        cond_fine = _put(cond_fine, dev_fine)
+
+        # Each stage's windows are kept as a LIST of per-window segments (one
+        # jnp.concatenate would make every downstream window depend on the
+        # whole upstream loop); downstream windows gather only the spans they
+        # overlap (_gather_span), so with stage_devices the three loops
+        # overlap across devices via async dispatch.
+
         # ---- semantic stage: sliding-window AR (:928-949) ----
         first_T = int(
             min(output_seconds, semantic_window_seconds) * semantic_steps_per_second
         )
         k0, rk0 = stage_rng(0, 0)
-        sem = self.semantic_stage.generate(
-            [clap_token_ids],
-            k0,
-            max_time_steps=first_T,
-            init_pred_ids=cond_semantic,
-            temperature=semantic_temperature,
-            filter_thres=semantic_filter_thres,
-            per_row_keys=rk0,
-        )  # [b, T, 1]
+        sem_segments = [
+            self.semantic_stage.generate(
+                [clap_sem],
+                k0,
+                max_time_steps=first_T,
+                init_pred_ids=cond_semantic,
+                temperature=semantic_temperature,
+                filter_thres=semantic_filter_thres,
+                per_row_keys=rk0,
+            )  # [b, T, 1]
+        ]
+        sem_total = first_T
         target_sem = int(output_seconds * semantic_steps_per_second)
         win_i = 1
-        while sem.shape[1] < target_sem:
+        while sem_total < target_sem:
             cond_len = int(
                 semantic_window_seconds * semantic_steps_per_second
                 * (1 - semantic_sliding_window_step_percent)
             )
             kw, rkw = stage_rng(0, win_i)
             cont = self.semantic_stage.generate(
-                [clap_token_ids],
+                [clap_sem],
                 kw,
                 max_time_steps=int(semantic_window_seconds * semantic_steps_per_second),
-                init_pred_ids=sem[:, -cond_len:],
+                init_pred_ids=_gather_span(sem_segments, sem_total - cond_len, cond_len),
                 temperature=semantic_temperature,
                 filter_thres=semantic_filter_thres,
                 per_row_keys=rkw,
             )
-            sem = jnp.concatenate([sem, cont[:, cond_len:]], axis=1)
+            sem_segments.append(cont[:, cond_len:])
+            sem_total += cont.shape[1] - cond_len
             win_i += 1
-        sem = sem[:, semantic_adj:]
+        # front trim for audio-prompt continuation (negative adj matches the
+        # old `sem[:, adj:]` python-slice semantics)
+        sem_start = semantic_adj if semantic_adj >= 0 else max(sem_total + semantic_adj, 0)
+        sem_len = sem_total - sem_start
 
         # ---- coarse stage over 4 s semantic windows (:954-984) ----
         window = int(coarse_window_seconds * semantic_steps_per_second - 1)
         step = int(window * coarse_sliding_window_step_percent)
-        sem_windows = unfold_windows(sem, window, step)
+        n_coarse_windows = (sem_len - window) // step + 1
 
-        coarse = None
         coarse_T = int(coarse_window_seconds * acoustic_steps_per_second)
         coarse_cond_len = int(
             coarse_window_seconds * acoustic_steps_per_second
             * (1 - coarse_sliding_window_step_percent)
         )
-        for wi in range(sem_windows.shape[0]):
-            init = coarse[:, -coarse_cond_len:] if coarse is not None else cond_coarse
+        coarse_segments = []
+        prev_pred = None
+        for wi in range(n_coarse_windows):
+            sem_win = _put(
+                _gather_span(sem_segments, sem_start + wi * step, window), dev_coarse
+            )
+            if prev_pred is not None:
+                # NB -0 slices the whole array: step percent 1.0 => no carry
+                init = prev_pred[:, -coarse_cond_len:] if coarse_cond_len > 0 else None
+            else:
+                init = cond_coarse
             kc, rkc = stage_rng(1, wi)
-            pred = self.coarse_stage.generate(
-                [clap_token_ids, sem_windows[wi]],
+            prev_pred = self.coarse_stage.generate(
+                [clap_coarse, sem_win],
                 kc,
                 max_time_steps=coarse_T,
                 init_pred_ids=init,
@@ -233,23 +320,31 @@ class MusicLM:
                 filter_thres=coarse_filter_thres,
                 per_row_keys=rkc,
             )  # [b, coarse_T, n_coarse]
-            if coarse is None:
-                coarse = pred
-            else:
-                coarse = jnp.concatenate([coarse, pred[:, coarse_cond_len:]], axis=1)
+            coarse_segments.append(
+                prev_pred if wi == 0 else prev_pred[:, coarse_cond_len:]
+            )
+        coarse_total = sum(s.shape[1] for s in coarse_segments)
 
         if return_coarse_generated_wave:
+            coarse = _put(jnp.concatenate(coarse_segments, axis=1), dev_codec)
             return self._decode(self.codec_params, coarse)
 
-        coarse = coarse[:, coarse_adj:]
+        coarse_start = (
+            coarse_adj if coarse_adj >= 0 else max(coarse_total + coarse_adj, 0)
+        )
+        coarse_len = coarse_total - coarse_start
 
         # ---- fine stage over 2 s coarse windows (:994-1023) ----
         fine_window = int(fine_window_seconds * acoustic_steps_per_second)
         fine_step = int(fine_window * fine_sliding_window_step_percent)
-        coarse_windows = unfold_windows(coarse, fine_window, fine_step)
+        n_windows = (coarse_len - fine_window) // fine_step + 1
         fine_cond_len = int(fine_window * (1 - fine_sliding_window_step_percent))
 
-        n_windows = coarse_windows.shape[0]
+        def coarse_win(wj: int) -> jnp.ndarray:
+            return _gather_span(
+                coarse_segments, coarse_start + wj * fine_step, fine_window
+            )
+
         if fine_cond_len == 0 and cond_fine is None and n_windows > 1:
             # non-overlapping fine windows are independent given coarse+clap:
             # run them as ONE batched decode ([n_windows*b]) instead of the
@@ -257,11 +352,12 @@ class MusicLM:
             # sequential decode steps drop from n_windows*T*Q to T*Q.
             b = clap_token_ids.shape[0]
             clap_rep = jnp.tile(
-                clap_token_ids.reshape(b, -1), (n_windows, 1)
+                clap_fine.reshape(b, -1), (n_windows, 1)
             )
-            coarse_flat = coarse_windows.reshape(
-                n_windows * b, coarse_windows.shape[2], coarse_windows.shape[3]
-            )
+            coarse_flat = _put(
+                jnp.concatenate([coarse_win(w) for w in range(n_windows)], axis=0),
+                dev_fine,
+            )  # [n_windows*b, fine_window, q]
             if per_row_keys is not None:
                 kf, rkf = None, jnp.concatenate(
                     [fold_in_rows(per_row_keys, 2, w) for w in range(n_windows)]
@@ -281,14 +377,15 @@ class MusicLM:
             fine = jnp.concatenate([pred[w] for w in range(n_windows)], axis=1)
         else:
             fine = None
+            prev_fine = None
             for wi in range(n_windows):
-                if fine is not None:
-                    init = fine[:, -fine_cond_len:] if fine_cond_len > 0 else None
+                if prev_fine is not None:
+                    init = prev_fine[:, -fine_cond_len:] if fine_cond_len > 0 else None
                 else:
                     init = cond_fine
                 kf, rkf = stage_rng(2, wi)
-                pred = self.fine_stage.generate(
-                    [clap_token_ids, coarse_windows[wi]],
+                prev_fine = self.fine_stage.generate(
+                    [clap_fine, _put(coarse_win(wi), dev_fine)],
                     kf,
                     max_time_steps=fine_window,
                     init_pred_ids=init,
@@ -297,15 +394,18 @@ class MusicLM:
                     per_row_keys=rkf,
                 )
                 if fine is None:
-                    fine = pred
+                    fine = prev_fine
                 else:
-                    fine = jnp.concatenate([fine, pred[:, fine_cond_len:]], axis=1)
+                    fine = jnp.concatenate([fine, prev_fine[:, fine_cond_len:]], axis=1)
 
         fine = fine[:, fine_adj:]
+        coarse = _gather_span(coarse_segments, coarse_start, coarse_len)
 
+        fine = _put(fine, dev_codec)
+        coarse = _put(coarse, dev_codec)
         if all_cond_coarse is not None and all_cond_fine is not None:
-            fine = jnp.concatenate([all_cond_fine, fine], axis=1)
-            coarse = jnp.concatenate([all_cond_coarse, coarse], axis=1)
+            fine = jnp.concatenate([_put(all_cond_fine, dev_codec), fine], axis=1)
+            coarse = jnp.concatenate([_put(all_cond_coarse, dev_codec), coarse], axis=1)
 
         # align lengths (unfold may drop a partial trailing window)
         T = min(coarse.shape[1], fine.shape[1])

@@ -108,7 +108,10 @@ def quant_decode_step(
     d = model.dim_head
     heads = model.heads
     x = x_t
-    new_k, new_v, new_ff = [], [], []
+    # single-row in-place writes on the stacked cache buffers (see
+    # Transformer.decode_step) — slice/update/stack would copy the whole
+    # cache every step
+    k_all, v_all, ff_all = cache["k"], cache["v"], cache["ff"]
     for l in range(model.depth):
         a, qa = t[f"attn_{l}"], qparams[f"attn_{l}"]
         h = _ln(x, a["norm"]["gamma"])
@@ -126,10 +129,15 @@ def quant_decode_step(
         k_t, v_t = jnp.split(kv, 2, axis=-1)
         qh = l2norm(qh) * a["q_scale"].astype(qh.dtype)
         k_t = l2norm(k_t) * a["k_scale"].astype(k_t.dtype)
-        k_c = jax.lax.dynamic_update_slice(cache["k"][l], k_t[:, None, :], (0, pos, 0))
-        v_c = jax.lax.dynamic_update_slice(cache["v"][l], v_t[:, None, :], (0, pos, 0))
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_t[None, :, None, :], (l, 0, pos, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_t[None, :, None, :], (l, 0, pos, 0)
+        )
         attn = shared_kv_decode_step(
-            qh, k_c, v_c, pos, scale=8.0, bias_table=bias_table, key_mask=cache["mask"]
+            qh, k_all[l], v_all[l], pos, scale=8.0, bias_table=bias_table,
+            key_mask=cache["mask"],
         )
         if fused_ff:
             x = x + attn @ a["to_out"]["kernel"].astype(attn.dtype)
@@ -137,11 +145,10 @@ def quant_decode_step(
             x = x + matmul(attn, *qa["to_out"])
 
         f, qf = t[f"ff_{l}"], qparams[f"ff_{l}"]
-        ff_state = cache["ff"][l]
+        ff_state = ff_all[l]
         if fused_ff:
             ff_fn = fused_ff_apply if matmul is int8_matmul else fused_ff_apply_xla
             x, new_state = ff_fn(x, qf["packed"], ff_state)
-            new_ff.append(new_state)
         else:
             h2 = _ln(x, f["norm_in"]["gamma"])
             u_t = matmul(h2, *qf["proj_in"])  # [b, 2*inner]
@@ -151,17 +158,10 @@ def quant_decode_step(
             g = jax.nn.gelu(gate, approximate=False) * val
             g = _ln(g, f["norm_mid"]["gamma"])
             x = x + matmul(g, *qf["proj_out"])
-            new_ff.append(jnp.stack([ff_state[:, 1], u_t], axis=1))
+            new_state = jnp.stack([ff_state[:, 1], u_t], axis=1)
+        ff_all = jax.lax.dynamic_update_slice(ff_all, new_state[None], (l, 0, 0, 0))
 
-        new_k.append(k_c)
-        new_v.append(v_c)
-
-    cache = {
-        "k": jnp.stack(new_k),
-        "v": jnp.stack(new_v),
-        "ff": jnp.stack(new_ff),
-        "mask": cache["mask"],
-    }
+    cache = {"k": k_all, "v": v_all, "ff": ff_all, "mask": cache["mask"]}
     return _ln(x, t["final_norm"]["gamma"]), cache
 
 

@@ -145,31 +145,18 @@ class Attention(nn.Module):
             return out, (k, v)
         return out
 
-    def decode(
-        self,
-        x_t: jnp.ndarray,  # [b, dim]
-        k_cache: jnp.ndarray,  # [b, N, d]
-        v_cache: jnp.ndarray,
-        pos: jnp.ndarray,
-        bias_table: Optional[jnp.ndarray],
-        key_mask: Optional[jnp.ndarray] = None,
+    def decode_qkv(
+        self, x_t: jnp.ndarray  # [b, dim]
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """One token step. Returns (out [b, dim], new k_cache, new v_cache)."""
-        b = x_t.shape[0]
+        """One-token projections: (q [b, heads, d], k_t [b, 1, d], v_t).
+
+        The caller writes k_t/v_t into the stacked all-layer cache with ONE
+        dynamic_update_slice per layer (an in-place row write on the scan
+        carry) — slicing a layer out, updating and re-stacking would copy the
+        whole cache every decode step."""
         h = self.norm(x_t[:, None, :])  # [b, 1, dim]
         q, k, v = self._qkv(h, x_t[:, None, :])
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, pos, 0))
-        out = shared_kv_decode_step(
-            q[:, :, 0, :],
-            k_cache,
-            v_cache,
-            pos,
-            scale=self.scale,
-            bias_table=bias_table,
-            key_mask=key_mask,
-        )
-        return self.to_out(out), k_cache, v_cache
+        return q[:, :, 0, :], k, v
 
 
 class ConvFeedForward(nn.Module):
@@ -429,23 +416,29 @@ class Transformer(nn.Module):
         pos: jnp.ndarray,  # scalar int32
         bias_table: Optional[jnp.ndarray],
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """One decode step; returns (normed output [b, dim], cache)."""
+        """One decode step; returns (normed output [b, dim], cache).
+
+        Cache updates are single-row dynamic_update_slice writes into the
+        stacked [depth, ...] buffers so XLA keeps them in place across the
+        decode scan (no per-step cache copies)."""
         x = grad_shrink(x_t, self.grad_shrink_alpha)
-        new_k, new_v, new_ff = [], [], []
+        k_all, v_all, ff_all = cache["k"], cache["v"], cache["ff"]
         for i, (attn, ff) in enumerate(zip(self.attns, self.ffs)):
-            out, k_c, v_c = attn.decode(
-                x, cache["k"][i], cache["v"][i], pos, bias_table, key_mask=cache["mask"]
+            q, k_t, v_t = attn.decode_qkv(x)
+            k_all = jax.lax.dynamic_update_slice(k_all, k_t[None], (i, 0, pos, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, v_t[None], (i, 0, pos, 0))
+            out = shared_kv_decode_step(
+                q,
+                k_all[i],
+                v_all[i],
+                pos,
+                scale=attn.scale,
+                bias_table=bias_table,
+                key_mask=cache["mask"],
             )
-            x = out + x
-            u, ff_state = ff.decode(x, cache["ff"][i])
+            x = attn.to_out(out) + x
+            u, ff_state = ff.decode(x, ff_all[i])
+            ff_all = jax.lax.dynamic_update_slice(ff_all, ff_state[None], (i, 0, 0, 0))
             x = u + x
-            new_k.append(k_c)
-            new_v.append(v_c)
-            new_ff.append(ff_state)
-        cache = {
-            "k": jnp.stack(new_k),
-            "v": jnp.stack(new_v),
-            "ff": jnp.stack(new_ff),
-            "mask": cache["mask"],
-        }
+        cache = {"k": k_all, "v": v_all, "ff": ff_all, "mask": cache["mask"]}
         return self.final_norm(x), cache

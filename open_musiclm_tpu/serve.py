@@ -8,7 +8,9 @@ the 3-stage KV-cached pipeline, and resolve per-request futures.
 Throughput comes from batch amortization of the weight-bandwidth-bound
 decode (DESIGN.md): measured on one v5e chip, batch 8 serves ~65 audio-sec
 per wall-second. On a multi-chip mesh, run one server per chip (or shard the
-batch over dp) — stages share no state across requests.
+batch over dp) — stages share no state across requests. For long-form
+generation, construct the server with ``musiclm.to_pipelined(devices)`` so
+the three stage loops overlap across devices (models/musiclm.py).
 """
 
 from __future__ import annotations

@@ -50,8 +50,10 @@ def save_reconstructed_wave(
     num_fine_quantizers: int,
     results_folder: str,
     step: int,
-) -> Optional[Sequence[str]]:
-    """Returns written wav paths, or None for the semantic stage."""
+):
+    """Returns (written wav paths, waves [b, T]), or None for the semantic
+    stage. The waves are returned so trackers can log them as audio
+    (reference wandb audio artifacts, trainer.py:524-526)."""
     from ..data.audio_io import write_wav
 
     if stage == "semantic":
@@ -74,4 +76,4 @@ def save_reconstructed_wave(
         p = Path(results_folder) / f"{stage}.recon.{step}.{i}.wav"
         write_wav(str(p), np.asarray(waves[i]), codec.sample_rate)
         paths.append(str(p))
-    return paths
+    return paths, waves

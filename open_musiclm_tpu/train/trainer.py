@@ -91,6 +91,12 @@ class StageTrainer:
     save_results_every: int = 250
     stage_name: str = "stage"
     use_tensorboard: bool = True
+    # optional wandb tracker (reference trainer.py:38-41,348-351): no-op when
+    # the package is absent; ``wandb_run_config`` is attached as the run's
+    # hyperparameters like the reference's sanitized accelerate kwargs
+    use_wandb: bool = False
+    wandb_project: str = "open-musiclm-tpu"
+    wandb_run_config: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -103,6 +109,7 @@ class StageTrainer:
         )
         self._train_step = None
         self._eval_step = None
+        self._artifact_step = None
         Path(self.results_folder).mkdir(parents=True, exist_ok=True)
         self._log_path = Path(self.results_folder) / f"{self.stage_name}.log.jsonl"
         self._tb = None
@@ -117,6 +124,19 @@ class StageTrainer:
                 )
             except Exception:
                 self._tb = None
+        self._wandb = None
+        if self.use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=self.wandb_project,
+                    name=f"{self.stage_name}_{int(time.time())}",
+                    dir=self.results_folder,
+                    config=self.wandb_run_config or {},
+                )
+            except Exception:
+                self._wandb = None  # wandb not installed / offline init failed
 
     # ---- state ----
 
@@ -176,6 +196,18 @@ class StageTrainer:
 
         return jax.jit(eval_fn)
 
+    def _build_artifact_step(self):
+        model, loss_cfg = self.model, self.loss_cfg
+
+        def fn(params, ids, rng):
+            _, aux = stage_training_loss(
+                model, params, list(ids), rng, loss_cfg, train=False
+            )
+            # final (predicted) sequence only — what the artifact dumps show
+            return aux["logits"][-1], aux["labels"][-1]
+
+        return jax.jit(fn)
+
     # ---- public API ----
 
     def train_step(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
@@ -191,6 +223,14 @@ class StageTrainer:
         batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(DATA_AXIS))) for b in batch)
         return self._eval_step(state.params, batch, rng)
 
+    def artifact_logits(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
+        """Final-sequence (logits, labels) on a valid batch, for the
+        qualitative artifact dumps (train/artifacts.py)."""
+        if self._artifact_step is None:
+            self._artifact_step = self._build_artifact_step()
+        batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(DATA_AXIS))) for b in batch)
+        return self._artifact_step(state.params, batch, rng)
+
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "time": time.time(), "stage": self.stage_name}
         rec.update({k: float(v) for k, v in metrics.items()})
@@ -202,6 +242,40 @@ class StageTrainer:
                     self._tb.scalar(k, float(v), int(step))
                 except Exception:
                     pass
+        if self._wandb is not None:
+            try:
+                self._wandb.log({k: float(v) for k, v in metrics.items()}, step=int(step))
+            except Exception:
+                pass
+
+    def log_audio(self, step: int, tag: str, waves, sample_rate: int):
+        """Log reconstruction audio to the trackers (reference wandb audio
+        artifacts, trainer.py:524-526). ``waves``: [n, T] float in [-1, 1]."""
+        import numpy as np
+
+        waves = np.asarray(waves, dtype=np.float32)
+        if waves.ndim == 1:
+            waves = waves[None]
+        if self._tb is not None:
+            try:
+                self._tb.audio(tag, waves[..., None], int(step), sample_rate=sample_rate)
+            except Exception:
+                pass
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log(
+                    {
+                        tag: [
+                            wandb.Audio(w, sample_rate=sample_rate, caption=f"{tag}.{i}")
+                            for i, w in enumerate(waves)
+                        ]
+                    },
+                    step=int(step),
+                )
+            except Exception:
+                pass
 
     def checkpoint_path(self, step: int) -> str:
         return str(

@@ -17,6 +17,12 @@ def main():
     add_model_args(p)
     add_training_args(p)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument(
+        "--wandb",
+        action="store_true",
+        help="log scalars + reconstruction audio to wandb (no-op if the "
+        "package is not installed); tensorboard + JSONL stay on",
+    )
     args = p.parse_args()
 
     import dataclasses
@@ -69,6 +75,8 @@ def main():
         save_model_every=trainer_cfg.save_model_every,
         save_results_every=trainer_cfg.save_results_every,
         stage_name=args.stage,
+        use_wandb=args.wandb,
+        wandb_run_config=dataclasses.asdict(trainer_cfg),
     )
 
     # resume / fine-tune
@@ -84,6 +92,7 @@ def main():
 
     # data
     accum = trainer_cfg.grad_accum_every
+    musiclm = None  # set on the on-the-fly tokenization path (has the codec)
     if trainer_cfg.use_preprocessed_data:
         ds = PreprocessedDataset(
             folder=trainer_cfg.folder,
@@ -134,6 +143,39 @@ def main():
             )
         )
 
+    # qualitative artifacts at the save_results cadence (reference
+    # trainer.py:481-526): predicted-token dumps always; teacher-forced
+    # Encodec wave reconstructions when the codec is in-process
+    from open_musiclm_tpu.train.artifacts import (
+        save_predicted_tokens,
+        save_reconstructed_wave,
+    )
+
+    art_rng = jax.random.PRNGKey(args.seed + 2)
+
+    def artifact_fn(state, vb, step):
+        logits, labels = trainer.artifact_logits(state, vb, art_rng)
+        if trainer_cfg.save_predicted_tokens:
+            save_predicted_tokens(logits, labels, args.results_folder, args.stage, step)
+        if (
+            trainer_cfg.save_reconstructed_wave
+            and args.stage != "semantic"
+            and musiclm is not None
+        ):
+            pred = jnp.argmax(logits, axis=-1)[:, :-1]  # drop the EOS position
+            cond = vb[1] if args.stage == "fine" else None  # ground-truth coarse
+            out = save_reconstructed_wave(
+                args.stage, pred, cond, musiclm.codec, musiclm.codec_params,
+                mc.global_cfg.num_coarse_quantizers,
+                mc.global_cfg.num_fine_quantizers,
+                args.results_folder, step,
+            )
+            if out is not None:
+                _, waves = out
+                trainer.log_audio(
+                    step, f"{args.stage}_recon", waves, musiclm.codec.sample_rate
+                )
+
     remaining = trainer_cfg.num_train_steps - int(state.step)
     print(f"training {args.stage} stage for {remaining} steps")
     trainer.train(
@@ -142,6 +184,7 @@ def main():
         num_steps=remaining,
         rng=jax.random.PRNGKey(args.seed + 1),
         valid_iter=valid_iter,
+        artifact_fn=artifact_fn,
     )
 
 

@@ -183,6 +183,10 @@ def test_clap_quantized_tokenize_text():
     assert int(toks.min()) >= 0 and int(toks.max()) < 32
     emb = cq.text_embedding(ids, mask)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+    # jit variant (params as jit args, not closure constants) matches exactly
+    np.testing.assert_array_equal(
+        np.asarray(cq.tokenize_text_jit(ids, mask)), np.asarray(toks)
+    )
 
 
 def test_clap_audio_tokens():
