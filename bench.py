@@ -37,7 +37,9 @@ def main():
     from open_musiclm_tpu.models.encodec import create_encodec_24khz, EncodecModel
     from open_musiclm_tpu.models.musiclm import MusicLM
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch 32 measured best on one v5e chip: 130x vs 114x at 16 (decode is
+    # weight-bandwidth-bound; Encodec/fine compute scale sublinearly)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     output_seconds = float(os.environ.get("BENCH_SECONDS", "4"))
 
     mc = load_model_config(

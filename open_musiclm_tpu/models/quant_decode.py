@@ -37,6 +37,12 @@ from ..core.sampling import (
     split_row_keys,
 )
 from ..ops.attention import l2norm, shared_kv_decode_step
+from ..ops.decode_attention import (
+    flash_decode_step,
+    flash_decode_step_xla,
+    quantize_kv_row,
+    round_up_chunk,
+)
 from ..ops.quant import int8_matmul, int8_matmul_xla, quantize_weight
 from .token_cond import (
     PAD_ID,
@@ -165,6 +171,93 @@ def quant_decode_step(
     return _ln(x, t["final_norm"]["gamma"]), cache
 
 
+def pack_kv_cache(cache: Dict[str, jnp.ndarray], int8: bool):
+    """Convert the prefit separate-K/V cache to the flash kernel's packed
+    layout (ops/decode_attention.py): kv [depth, b, N, 2d] with K in lanes
+    0:d, V in d:2d; int8 mode adds per-row scales [depth, 2, b, N]."""
+    kv = jnp.concatenate([cache["k"], cache["v"]], axis=-1)
+    out = {"ff": cache["ff"], "mask": cache["mask"]}
+    if int8:
+        d = cache["k"].shape[-1]
+
+        def quant_rows(rows):  # [b, N, d] -> (int8, scales [b, N])
+            q, s = jax.vmap(quantize_kv_row, in_axes=1, out_axes=1)(rows)
+            return q, s
+
+        kq, ks = jax.vmap(quant_rows)(cache["k"])
+        vq, vs = jax.vmap(quant_rows)(cache["v"])
+        out["kv"] = jnp.concatenate([kq, vq], axis=-1)
+        out["kvs"] = jnp.stack([ks, vs], axis=1)  # [depth, 2, b, N]
+    else:
+        out["kv"] = kv
+    return out
+
+
+def flash_quant_decode_step(
+    model: TokenConditionedTransformer,
+    params,
+    qparams,
+    x_t: jnp.ndarray,  # [b, dim]
+    cache: Dict[str, jnp.ndarray],  # packed layout (pack_kv_cache)
+    pos: jnp.ndarray,
+    bias_row: jnp.ndarray,  # [N, h] decode-layout row for this pos
+    add_mask: jnp.ndarray,  # [b, N] f32 additive key mask
+    *,
+    int8_kv: bool,
+    use_pallas: bool,
+):
+    """quant_decode_step twin over the packed KV cache + flash kernel
+    (fused_ff attention weights stay bf16/XLA as in the measured-best
+    serving config)."""
+    from ..ops.fused_ff import fused_ff_apply, fused_ff_apply_xla
+
+    t = params["params"]["transformer"]
+    d = model.dim_head
+    heads = model.heads
+    x = x_t
+    kv_all, ff_all = cache["kv"], cache["ff"]
+    kvs_all = cache.get("kvs")
+    step_fn = flash_decode_step if use_pallas else flash_decode_step_xla
+    ff_fn = fused_ff_apply if use_pallas else fused_ff_apply_xla
+    for l in range(model.depth):
+        a = t[f"attn_{l}"]
+        h = _ln(x, a["norm"]["gamma"])
+        # reference quirk: K/V project from the UN-normed residual stream
+        qv = h @ a["to_q"]["kernel"].astype(h.dtype)
+        kv = x @ a["to_kv"]["kernel"].astype(x.dtype)
+        b = x.shape[0]
+        qh = qv.reshape(b, heads, d)
+        k_t, v_t = jnp.split(kv, 2, axis=-1)
+        qh = l2norm(qh) * a["q_scale"].astype(qh.dtype)
+        k_t = l2norm(k_t) * a["k_scale"].astype(k_t.dtype)
+        if int8_kv:
+            kq, ks = quantize_kv_row(k_t)
+            vq, vs = quantize_kv_row(v_t)
+            row = jnp.concatenate([kq, vq], axis=-1)  # [b, 2d] int8
+            kvs_all = jax.lax.dynamic_update_slice(
+                kvs_all, jnp.stack([ks, vs])[None, :, :, None], (l, 0, 0, pos)
+            )
+        else:
+            row = jnp.concatenate([k_t, v_t], axis=-1).astype(kv_all.dtype)
+        kv_all = jax.lax.dynamic_update_slice(
+            kv_all, row[None, :, None, :], (l, 0, pos, 0)
+        )
+        attn = step_fn(
+            qh, kv_all[l], pos, bias_row, add_mask,
+            kvs_all[l] if int8_kv else None, scale=8.0,
+        )
+        x = x + attn @ a["to_out"]["kernel"].astype(attn.dtype)
+
+        f, qf = t[f"ff_{l}"], qparams[f"ff_{l}"]
+        x, new_state = ff_fn(x, qf["packed"], ff_all[l])
+        ff_all = jax.lax.dynamic_update_slice(ff_all, new_state[None], (l, 0, 0, 0))
+
+    cache = {"kv": kv_all, "ff": ff_all, "mask": cache["mask"]}
+    if kvs_all is not None:
+        cache["kvs"] = kvs_all
+    return _ln(x, t["final_norm"]["gamma"]), cache
+
+
 def generate_quantized(
     model: TokenConditionedTransformer,
     params,
@@ -182,10 +275,15 @@ def generate_quantized(
     use_pallas: Optional[bool] = None,
     fused_ff: bool = True,
     per_row_keys: Optional[jnp.ndarray] = None,
+    flash_kv: Optional[str] = None,  # None | "bf16" | "int8"
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
     scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
-    only supports interpret mode)."""
+    only supports interpret mode).
+
+    ``flash_kv`` switches attention-over-cache to the packed-KV flash-decode
+    kernel (ops/decode_attention.py): early exit at ``pos``, one DMA per
+    256-row chunk, optionally int8 cache rows ("int8" mode)."""
     specs = model.specs
     pred_spec = specs[-1]
     q_num = pred_spec.num_quantizers
@@ -211,11 +309,17 @@ def generate_quantized(
     prefill_len = sum(t.shape[-1] for t in prefill_ids) + len(specs)
     max_len = prefill_len + n_new
 
+    alloc_len = round_up_chunk(max_len) if flash_kv else max_len
     x = model.apply(params, prefill_ids, method=TokenConditionedTransformer.assemble_stream)
-    cache = model.apply(params, batch, max_len, method=_tfm_init_cache)
-    table = model.apply(params, max_len, method=_tfm_bias_table)
+    cache = model.apply(params, batch, alloc_len, method=_tfm_init_cache)
+    table = model.apply(params, alloc_len, method=_tfm_bias_table)
     h_all, cache = model.apply(params, x, cache, method=_tfm_prefill)
     h_last = h_all[:, -1]
+    if flash_kv:
+        cache = pack_kv_cache(cache, int8=flash_kv == "int8")
+        add_mask = jnp.where(cache["mask"], 0.0, NEG_INF).astype(jnp.float32)
+        if table is None:
+            table = jnp.zeros((2 * alloc_len - 1, model.heads), jnp.float32)
 
     sampled = jnp.full((batch, total_steps), eos_id, jnp.int32)
     if n_init > 0:
@@ -252,10 +356,19 @@ def generate_quantized(
             pos_table = params["params"][f"abs_pos_embed_{len(specs) - 1}"]["embedding"]
             emb = emb + pos_table[flat_idx].astype(model.dtype)
         pos = prefill_len + s
-        h_last, cache = quant_decode_step(
-            model, params, qparams, emb, cache, pos, table, matmul=matmul,
-            fused_ff=fused_ff,
-        )
+        if flash_kv:
+            bias_row = jax.lax.dynamic_slice(
+                table, (alloc_len - 1 - pos, 0), (alloc_len, table.shape[1])
+            )
+            h_last, cache = flash_quant_decode_step(
+                model, params, qparams, emb, cache, pos, bias_row, add_mask,
+                int8_kv=flash_kv == "int8", use_pallas=use_pallas,
+            )
+        else:
+            h_last, cache = quant_decode_step(
+                model, params, qparams, emb, cache, pos, table, matmul=matmul,
+                fused_ff=fused_ff,
+            )
         return (cache, h_last, sampled, rng), None
 
     (cache, h_last, sampled, rng), _ = jax.lax.scan(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -118,6 +119,7 @@ def _jitted_generate_quantized(
     allow_eos_in_output: bool,
     include_eos_in_output: bool,
     per_row: bool = False,
+    flash_kv: Optional[str] = None,
 ):
     def fn(params, qparams, cond_ids, init_pred, key):
         from .quant_decode import generate_quantized
@@ -135,6 +137,7 @@ def _jitted_generate_quantized(
             allow_eos_in_output=allow_eos_in_output,
             include_eos_in_output=include_eos_in_output,
             per_row_keys=key if per_row else None,
+            flash_kv=flash_kv,
         )
 
     return jax.jit(fn)
@@ -146,13 +149,18 @@ class Stage:
 
     ``quantized=True`` switches generation to the int8 weight-only decode
     path (models/quant_decode.py) — ~2x smaller weight working set; see the
-    measured-perf note there."""
+    measured-perf note there. ``flash_kv`` (None | "bf16" | "int8", default
+    from $OPEN_MUSICLM_FLASH_KV) additionally routes attention-over-cache
+    through the early-exit flash-decode kernel (ops/decode_attention.py)."""
 
     model: TokenConditionedTransformer
     params: Any
     loss_cfg: StageLossConfig
     name: str = "stage"
     quantized: bool = False
+    flash_kv: Optional[str] = dataclasses.field(
+        default_factory=lambda: os.environ.get("OPEN_MUSICLM_FLASH_KV") or None
+    )
 
     def __post_init__(self):
         self._qparams = None
@@ -194,6 +202,7 @@ class Stage:
                 bool(allow_eos_in_output),
                 bool(include_eos_in_output),
                 per_row,
+                self.flash_kv,
             )
             return fn(self.params, self._get_qparams(), cond, init, key_arg)
         fn = _jitted_generate(

@@ -32,6 +32,15 @@ from ..ops.attention import l2norm, shared_kv_attention, shared_kv_decode_step
 from ..ops.relpos import make_bias
 
 
+def _dropout(u: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
+    """Inverted dropout. nn.Dropout is a submodule and cannot be constructed
+    inside a setup()-style __call__ (flax AssignSubModuleError); it holds no
+    params, so the functional form is equivalent."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, u.shape)
+    return jnp.where(mask, u / keep, 0.0).astype(u.dtype)
+
+
 def _pallas_attention_enabled() -> bool:
     """Fused Pallas attention: on for TPU backends unless disabled via env."""
     if os.environ.get("OPEN_MUSICLM_PALLAS", "1") != "1":
@@ -140,7 +149,7 @@ class Attention(nn.Module):
             )
         out = self.to_out(out)
         if not deterministic and self.dropout > 0.0:
-            out = nn.Dropout(self.dropout, deterministic=False)(out, rng=self.make_rng("dropout"))
+            out = _dropout(out, self.dropout, self.make_rng("dropout"))
         if return_kv:
             return out, (k, v)
         return out
@@ -203,7 +212,7 @@ class ConvFeedForward(nn.Module):
         u = self._geglu(u)
         u = self.norm_mid(u)
         if not deterministic and self.dropout > 0.0:
-            u = nn.Dropout(self.dropout, deterministic=False)(u, rng=self.make_rng("dropout"))
+            u = _dropout(u, self.dropout, self.make_rng("dropout"))
         return self.proj_out(u)
 
     def decode(
@@ -246,7 +255,7 @@ class FeedForward(nn.Module):
         u = self._geglu(self.proj_in(self.norm_in(x)))
         u = self.norm_mid(u)
         if not deterministic and self.dropout > 0.0:
-            u = nn.Dropout(self.dropout, deterministic=False)(u, rng=self.make_rng("dropout"))
+            u = _dropout(u, self.dropout, self.make_rng("dropout"))
         return self.proj_out(u)
 
     def decode(self, x_t: jnp.ndarray, conv_state: jnp.ndarray):
@@ -359,9 +368,15 @@ class Transformer(nn.Module):
         }
 
     def bias_table(self, max_len: int) -> Optional[jnp.ndarray]:
+        """Decode-layout rel-pos bias: [2N-1, h] reversed + padded so that
+        row (N-1-pos)+j holds the bias at causal distance pos-j. The decode
+        step then reads its whole bias row with ONE dynamic_slice instead of
+        an N-element gather per step (shared_kv_decode_step)."""
         if self.rel_pos_bias is None:
             return None
-        return self.rel_pos_bias.distance_table(max_len)
+        table = self.rel_pos_bias.distance_table(max_len)  # [N, h]
+        pad = jnp.broadcast_to(table[:1], (max_len - 1, table.shape[1]))
+        return jnp.concatenate([table[::-1], pad], axis=0)
 
     def prefill(
         self,

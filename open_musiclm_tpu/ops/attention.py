@@ -79,14 +79,17 @@ def shared_kv_decode_step(
     pos: jnp.ndarray,  # scalar int32: current position (0-based)
     *,
     scale: float = 8.0,
-    bias_table: Optional[jnp.ndarray] = None,  # [N, h]: bias at causal distance d
+    bias_table: Optional[jnp.ndarray] = None,  # [2N-1, h] decode layout
     key_mask: Optional[jnp.ndarray] = None,  # [b, N] True = attend
 ) -> jnp.ndarray:
     """One KV-cached decode step. Returns [b, h*d].
 
     Replaces the reference's full-sequence re-forward per sampled token
-    (open_musiclm.py:299-319). The relative-position bias is a gather from a
-    precomputed causal distance table: bias(i=pos, j) = table[pos - j].
+    (open_musiclm.py:299-319). ``bias_table`` uses the reversed-padded
+    decode layout built by Transformer.bias_table: row (N-1-pos)+j is the
+    bias at causal distance pos-j, so the step's bias row is ONE
+    dynamic_slice (a dynamic-index gather per step is much slower on TPU).
+    Rows at j > pos are junk but masked by the causal `allowed` mask.
     """
     b, h, d = q_t.shape
     N = k_cache.shape[1]
@@ -94,8 +97,9 @@ def shared_kv_decode_step(
 
     j = jnp.arange(N)
     if bias_table is not None:
-        dist = jnp.clip(pos - j, 0, N - 1)
-        bias = bias_table[dist]  # [N, h]
+        bias = jax.lax.dynamic_slice(
+            bias_table, (N - 1 - pos, 0), (N, bias_table.shape[1])
+        )  # [N, h]
         sim = sim + bias.T[None].astype(sim.dtype)
 
     allowed = j <= pos

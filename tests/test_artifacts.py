@@ -29,15 +29,16 @@ def test_save_reconstructed_wave_coarse_and_fine(tmp_path):
     coarse_flat = jax.random.randint(jax.random.PRNGKey(1), (2, 10 * 3), 0, 16)
     fine_flat = jax.random.randint(jax.random.PRNGKey(2), (2, 10 * 5), 0, 16)
 
-    paths = save_reconstructed_wave(
+    paths, waves = save_reconstructed_wave(
         "coarse", coarse_flat, None, codec, params, 3, 5, str(tmp_path), 7
     )
     assert len(paths) == 2 and all(p.endswith(".wav") for p in paths)
+    assert waves.shape[0] == 2
 
-    paths = save_reconstructed_wave(
+    paths, waves = save_reconstructed_wave(
         "fine", fine_flat, coarse_flat, codec, params, 3, 5, str(tmp_path), 7
     )
-    assert len(paths) == 2
+    assert len(paths) == 2 and waves.shape[0] == 2
 
     assert save_reconstructed_wave(
         "semantic", coarse_flat, None, codec, params, 3, 5, str(tmp_path), 7

@@ -167,3 +167,57 @@ def test_musiclm_with_quantized_stages():
     )
     wave = musiclm.generate(key=jax.random.PRNGKey(0), text=["int8 pipeline"], **GEN_KW)
     assert wave.ndim == 2 and np.isfinite(np.asarray(wave)).all()
+
+
+@pytest.mark.parametrize("mode", ["bf16", "int8"])
+def test_generate_flash_kv_matches_quantized(mode):
+    """flash_kv decode (packed early-exit cache, XLA fallback on CPU) must
+    agree with the plain quantized path at temperature 0 — exactly for bf16
+    packing (same math over the same f32 cache values), on most tokens for
+    int8 cache rows (lossy)."""
+    model = make_model()
+    ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    qparams = quantize_stage_params(model, params)
+    cond = [jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, CB)]
+
+    base = np.asarray(
+        generate_quantized(
+            model, params, qparams, cond, jax.random.PRNGKey(2),
+            max_time_steps=4, temperature=0.0, use_pallas=False,
+        )
+    )
+    flash = np.asarray(
+        generate_quantized(
+            model, params, qparams, cond, jax.random.PRNGKey(2),
+            max_time_steps=4, temperature=0.0, use_pallas=False,
+            flash_kv=mode,
+        )
+    )
+    assert flash.shape == base.shape
+    agreement = (flash == base).mean()
+    if mode == "bf16":
+        assert agreement == 1.0, agreement
+    else:
+        assert agreement > 0.5, agreement
+
+
+def test_stage_flash_kv_flag(monkeypatch):
+    import dataclasses as dc
+
+    from open_musiclm_tpu.models.stages import Stage
+    from open_musiclm_tpu.models.token_cond import StageLossConfig
+
+    monkeypatch.setenv("OPEN_MUSICLM_FLASH_KV", "bf16")
+    model = make_model()
+    ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    stage = Stage(
+        model, params, StageLossConfig(cross_entropy_loss_weights=(0.0, 1.0)),
+        quantized=True,
+    )
+    assert stage.flash_kv == "bf16"  # picked up from the env
+    cond = [jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, CB)]
+    out = stage.generate(cond, jax.random.PRNGKey(2), max_time_steps=3, temperature=0.0)
+    assert out.shape == (2, 3, 2)
+    assert np.asarray(out).min() >= 0
