@@ -59,36 +59,45 @@ def round_up_chunk(n: int) -> int:
 
 def _kernel(
     pos_ref,  # SMEM (1,) int32
-    q_ref,  # [b, h, d] VMEM
+    q_ref,  # [bb, h, d] VMEM (this program's batch block)
     bias_ref,  # [N, h] VMEM (decode-layout row, already sliced for pos)
-    addmask_ref,  # [b, N] VMEM f32 additive key mask (0 / NEG_INF)
+    addmask_ref,  # [bb, N] VMEM f32 additive key mask (0 / NEG_INF)
     kv_hbm,  # [b, N, 2d] ANY (bf16/f32 or int8): K lanes 0:d, V lanes d:2d
     sc_hbm,  # [2, b, N] ANY f32 row scales (int8 mode) or dummy
-    o_ref,  # [b, h, d] VMEM out
-    kvbuf,  # VMEM (2, b, CHUNK, 2d) cache dtype
-    scbuf,  # VMEM (2, 2, b, CHUNK) f32
-    macc,  # VMEM (b, h) f32 running max
-    lacc,  # VMEM (b, h) f32 running denom
-    oacc,  # VMEM (b, h, d) f32 accumulator
+    o_ref,  # [bb, h, d] VMEM out
+    kvbuf,  # VMEM (2, bb, CHUNK, 2d) cache dtype
+    scbuf,  # VMEM (2, 2, bb, CHUNK) f32
+    macc,  # VMEM (bb, h) f32 running max
+    lacc,  # VMEM (bb, h) f32 running denom
+    oacc,  # VMEM (bb, h, d) f32 accumulator
     sems,  # DMA sems (2, 2)
     *,
     scale: float,
     quantized: bool,
 ):
+    # grid over batch blocks keeps the VMEM chunk buffers bounded regardless
+    # of serving batch (the fine stage batches independent windows, so b can
+    # reach 256+); each program streams its own rows of the HBM cache
     b, h, d = q_ref.shape
+    pid = pl.program_id(0)
     pos = pos_ref[0]
     nvalid = pos // CHUNK + 1  # dynamic chunk count — the early exit
 
     def get_dmas(slot, c):
         off = pl.multiple_of(c * CHUNK, CHUNK)
+        boff = pl.multiple_of(pid * b, b)
         dmas = [
             pltpu.make_async_copy(
-                kv_hbm.at[:, pl.ds(off, CHUNK), :], kvbuf.at[slot], sems.at[slot, 0]
+                kv_hbm.at[pl.ds(boff, b), pl.ds(off, CHUNK), :],
+                kvbuf.at[slot],
+                sems.at[slot, 0],
             )
         ]
         if quantized:
             dmas.append(pltpu.make_async_copy(
-                sc_hbm.at[:, :, pl.ds(off, CHUNK)], scbuf.at[slot], sems.at[slot, 1]
+                sc_hbm.at[:, pl.ds(boff, b), pl.ds(off, CHUNK)],
+                scbuf.at[slot],
+                sems.at[slot, 1],
             ))
         return dmas
 
@@ -151,7 +160,7 @@ def _kernel(
     o_ref[:] = (oacc[:] / jnp.maximum(lacc[:], 1e-30)[:, :, None]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "block_batch"))
 def flash_decode_step(
     q_t: jnp.ndarray,  # [b, h, d] processed query (l2norm * q_scale)
     kv_cache: jnp.ndarray,  # [b, N, 2d] packed K|V; N % CHUNK == 0
@@ -162,6 +171,7 @@ def flash_decode_step(
     *,
     scale: float = 8.0,
     interpret: bool = False,
+    block_batch: Optional[int] = None,  # override the auto VMEM-capped block
 ) -> jnp.ndarray:
     """Returns [b, h*d]. ``kv_cache`` may be bf16/f32 (kv_scale None) or int8
     rows with per-row f32 scales."""
@@ -173,25 +183,34 @@ def flash_decode_step(
     if not quantized:
         kv_scale = jnp.zeros((2, b, N), jnp.float32)
 
+    # batch block: largest divisor of b keeping the double-buffered chunk
+    # scratch <= ~4 MB (the fine stage batches independent windows, so b
+    # reaches 256+ and unblocked scratch would blow VMEM)
+    per_row = 2 * CHUNK * 2 * d * kv_cache.dtype.itemsize
+    cap = max(1, (4 << 20) // per_row)
+    bb = block_batch or next(x for x in range(min(b, cap), 0, -1) if b % x == 0)
+    assert b % bb == 0
+
     kernel = functools.partial(_kernel, scale=float(scale), quantized=quantized)
     out = pl.pallas_call(
         kernel,
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q_t.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, b, CHUNK, 2 * d), kv_cache.dtype),
-            pltpu.VMEM((2, 2, b, CHUNK), jnp.float32),
-            pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((b, h, d), jnp.float32),
+            pltpu.VMEM((2, bb, CHUNK, 2 * d), kv_cache.dtype),
+            pltpu.VMEM((2, 2, bb, CHUNK), jnp.float32),
+            pltpu.VMEM((bb, h), jnp.float32),
+            pltpu.VMEM((bb, h), jnp.float32),
+            pltpu.VMEM((bb, h, d), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,

@@ -105,3 +105,15 @@ def test_early_exit_ignores_dead_tail():
     ref = flash_decode_step(q, kv, pos, bias_row, add_mask, interpret=True)
     got = flash_decode_step(q, kv_poison, pos, bias_row, add_mask, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_kernel_batch_grid_matches_unblocked():
+    """block_batch < b (the VMEM cap path used at fine-stage batches) must
+    be value-identical to the single-program kernel."""
+    pos_val = CHUNK + 33
+    q, _, _, kv, pos, _, bias_row, _, add_mask = _setup(pos_val, seed=5)
+    whole = flash_decode_step(q, kv, pos, bias_row, add_mask, interpret=True)
+    blocked = flash_decode_step(
+        q, kv, pos, bias_row, add_mask, interpret=True, block_batch=2
+    )
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole), atol=1e-6)

@@ -100,3 +100,23 @@ def test_clap_module_hook(tmp_path):
     assert f_emb.shape == (1, 16)
     sim = hook.cosine_similarity(t_emb[:1], f_emb)
     assert -1.01 <= float(sim[0]) <= 1.01
+
+
+def test_top_k_filter_approx_widens_only(monkeypatch):
+    """approx_max_k cutoff keeps a superset of the exact top-k survivors."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_musiclm_tpu.core.sampling import top_k_filter
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 1025))
+    exact = np.asarray(top_k_filter(logits, 0.9, approx=False))
+    approx = np.asarray(top_k_filter(logits, 0.9, approx=True))
+    exact_kept = exact > -1e8
+    approx_kept = approx > -1e8
+    assert (approx_kept | ~exact_kept).all()  # exact survivors all kept
+    # env knob routes through the default path
+    monkeypatch.setenv("OPEN_MUSICLM_APPROX_TOPK", "1")
+    env = np.asarray(top_k_filter(logits, 0.9))
+    assert ((env > -1e8) == approx_kept).all()

@@ -221,3 +221,29 @@ def test_stage_flash_kv_flag(monkeypatch):
     out = stage.generate(cond, jax.random.PRNGKey(2), max_time_steps=3, temperature=0.0)
     assert out.shape == (2, 3, 2)
     assert np.asarray(out).min() >= 0
+
+
+def test_musiclm_with_flash_kv_stages():
+    """Full tiny pipeline with int8 serving mode + flash int8 KV caches
+    (XLA fallback path on CPU)."""
+    import dataclasses as dc
+
+    import tests.test_musiclm as m
+    from tests.test_musiclm import GEN_KW
+
+    fixture_fn = m.tiny_musiclm.__wrapped__ if hasattr(m.tiny_musiclm, "__wrapped__") else None
+    if fixture_fn is None:
+        pytest.skip("fixture not introspectable")
+    musiclm = fixture_fn()
+    musiclm = dc.replace(
+        musiclm,
+        semantic_stage=dc.replace(
+            musiclm.semantic_stage, quantized=True, flash_kv="int8"
+        ),
+        coarse_stage=dc.replace(musiclm.coarse_stage, quantized=True, flash_kv="int8"),
+        fine_stage=dc.replace(musiclm.fine_stage, quantized=True, flash_kv="bf16"),
+    )
+    wave = musiclm.generate(
+        key=jax.random.PRNGKey(0), text=["flash kv pipeline"], **GEN_KW
+    )
+    assert wave.ndim == 2 and np.isfinite(np.asarray(wave)).all()
