@@ -37,9 +37,14 @@ def main():
     from open_musiclm_tpu.models.encodec import create_encodec_24khz, EncodecModel
     from open_musiclm_tpu.models.musiclm import MusicLM
 
-    # batch 32 measured best on one v5e chip: 130x vs 114x at 16 (decode is
-    # weight-bandwidth-bound; Encodec/fine compute scale sublinearly)
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # batch 64 measured best on one v5e chip with the flash int8 KV cache:
+    # 181x vs 160x at 32 and 151x at 128 (decode weight reads amortize with
+    # batch until the per-row cache traffic takes over)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # approx_max_k top-k cutoff: +6% end-to-end, serving-mode numerics like
+    # the int8 paths (core/sampling.py)
+    if os.environ.get("BENCH_APPROX_TOPK", "1") == "1":
+        os.environ.setdefault("OPEN_MUSICLM_APPROX_TOPK", "1")
     output_seconds = float(os.environ.get("BENCH_SECONDS", "4"))
     # BENCH_MODEL: musiclm_small (default) | musiclm_large_small_context |
     # musiclm_large — the large configs run the d1024x24L stage geometry
@@ -252,6 +257,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "int8_serving_mode": quantized,
                     "flash_kv": flash_kv or "off",
+                    "approx_topk": os.environ.get("OPEN_MUSICLM_APPROX_TOPK") == "1",
                     **stage_rates,
                     **long_detail,
                 },

@@ -34,7 +34,7 @@ def _attn_kernel(
     k_ref,  # [1, m, d]
     v_ref,  # [1, m, d]
     bias_ref,  # [1, Bn, m] or None
-    addmask_ref,  # [1, m] additive (0 / NEG_INF) or None
+    addmask_ref,  # [1, 1, m] additive (0 / NEG_INF) or None
     o_ref,  # [1, 1, Bn, d]
     *,
     scale: float,
@@ -55,7 +55,7 @@ def _attn_kernel(
     if bias_ref is not None:
         sim = sim + bias_ref[0].astype(jnp.float32)
     if addmask_ref is not None:
-        sim = sim + addmask_ref[0].astype(jnp.float32)[None, :]
+        sim = sim + addmask_ref[0, 0].astype(jnp.float32)[None, :]
 
     if causal:
         m = k.shape[0]
@@ -108,7 +108,11 @@ def shared_kv_attention_pallas(
 
     add_mask = None
     if key_mask is not None:
-        add_mask = jnp.where(key_mask, 0.0, NEG_INF).astype(q.dtype)
+        # [b, 1, m]: Mosaic requires a block's last-two dims be divisible by
+        # (8, 128) or equal to the array dims — a [b, m] array with (1, m)
+        # blocks violates the sublane rule; (1, 1, m) blocks of [b, 1, m]
+        # don't
+        add_mask = jnp.where(key_mask, 0.0, NEG_INF).astype(q.dtype)[:, None, :]
 
     in_specs = [
         pl.BlockSpec((1, 1, block_n, d), lambda bi, hi, ni: (bi, hi, ni, 0),
@@ -125,7 +129,8 @@ def shared_kv_attention_pallas(
         args.append(attn_bias)
     if add_mask is not None:
         in_specs.append(
-            pl.BlockSpec((1, m), lambda bi, hi, ni: (bi, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, m), lambda bi, hi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
         )
         args.append(add_mask)
 
@@ -178,7 +183,7 @@ def _bwd_kernel(
     k_ref,  # [1, m, d]
     v_ref,  # [1, m, d]
     bias_ref,  # [1, Bn, m] or None
-    addmask_ref,  # [1, m] or None
+    addmask_ref,  # [1, 1, m] or None
     do_ref,  # [1, 1, Bn, d]
     dq_ref,  # [1, 1, Bn, d]
     dk_ref,  # [1, m, d]   accumulated over (h, ni) — inner dims, consecutive
@@ -202,7 +207,7 @@ def _bwd_kernel(
     if bias_ref is not None:
         sim = sim + bias_ref[0].astype(jnp.float32)
     if addmask_ref is not None:
-        sim = sim + addmask_ref[0].astype(jnp.float32)[None, :]
+        sim = sim + addmask_ref[0, 0].astype(jnp.float32)[None, :]
     if causal:
         m = k.shape[0]
         rows = ni * block_n + jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
@@ -255,7 +260,7 @@ def _dbias_kernel(
     k_ref,  # [1, m, d]
     v_ref,  # [1, m, d]
     bias_ref,  # [1, Bn, m]
-    addmask_ref,  # [1, m] or None
+    addmask_ref,  # [1, 1, m] or None
     do_ref,  # [1, 1, Bn, d]
     dbias_ref,  # [1, Bn, m] accumulated over b (innermost — consecutive)
     *,
@@ -276,7 +281,7 @@ def _dbias_kernel(
     ) * scale
     sim = sim + bias_ref[0].astype(jnp.float32)
     if addmask_ref is not None:
-        sim = sim + addmask_ref[0].astype(jnp.float32)[None, :]
+        sim = sim + addmask_ref[0, 0].astype(jnp.float32)[None, :]
     if causal:
         m = k.shape[0]
         rows = ni * block_n + jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
@@ -355,7 +360,11 @@ def _fused_bwd(scale, causal, non_causal_prefix, block_n, interpret, res, g):
 
     add_mask = None
     if key_mask is not None:
-        add_mask = jnp.where(key_mask, 0.0, NEG_INF).astype(q.dtype)
+        # [b, 1, m]: Mosaic requires a block's last-two dims be divisible by
+        # (8, 128) or equal to the array dims — a [b, m] array with (1, m)
+        # blocks violates the sublane rule; (1, 1, m) blocks of [b, 1, m]
+        # don't
+        add_mask = jnp.where(key_mask, 0.0, NEG_INF).astype(q.dtype)[:, None, :]
 
     has_bias = attn_bias is not None
 
@@ -371,7 +380,7 @@ def _fused_bwd(scale, causal, non_causal_prefix, block_n, interpret, res, g):
                                      memory_space=pltpu.VMEM))
         args.append(bias_p)
     if add_mask is not None:
-        in_specs.append(pl.BlockSpec((1, m), lambda bi, hi, ni: (bi, 0),
+        in_specs.append(pl.BlockSpec((1, 1, m), lambda bi, hi, ni: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(add_mask)
     in_specs.append(pl.BlockSpec((1, 1, bn, d), lambda bi, hi, ni: (bi, hi, ni, 0),
@@ -439,7 +448,7 @@ def _fused_bwd(scale, causal, non_causal_prefix, block_n, interpret, res, g):
         db_args = [qp, k, v, bias_p]
         if add_mask is not None:
             db_in_specs.append(
-                pl.BlockSpec((1, m), lambda hi, ni, bi: (bi, 0),
+                pl.BlockSpec((1, 1, m), lambda hi, ni, bi: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
             )
             db_args.append(add_mask)

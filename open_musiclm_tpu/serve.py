@@ -6,11 +6,14 @@ the SAME compiled geometry — one compile serves all load levels), run through
 the 3-stage KV-cached pipeline, and resolve per-request futures.
 
 Throughput comes from batch amortization of the weight-bandwidth-bound
-decode (DESIGN.md): measured on one v5e chip, batch 8 serves ~65 audio-sec
-per wall-second. On a multi-chip mesh, run one server per chip (or shard the
-batch over dp) — stages share no state across requests. For long-form
-generation, construct the server with ``musiclm.to_pipelined(devices)`` so
-the three stage loops overlap across devices (models/musiclm.py).
+decode (DESIGN.md): measured on one v5e chip, batch 64 with the int8
+fused-FF + flash int8 KV + approx-topk serving modes runs ~180 audio-sec
+per wall-second (bench.py; Stage.quantized / Stage.flash_kv /
+$OPEN_MUSICLM_APPROX_TOPK). On a multi-chip mesh, run one server per chip
+(or shard the batch over dp) — stages share no state across requests. For
+long-form generation, construct the server with
+``musiclm.to_pipelined(devices)`` so the three stage loops overlap across
+devices (models/musiclm.py).
 """
 
 from __future__ import annotations
@@ -111,13 +114,22 @@ class GenerationServer:
                 continue
             try:
                 n = len(reqs)
-                # resolve clap tokens per request (text or precomputed)
+                # resolve clap tokens: text requests share ONE batched text-
+                # tower call at the fixed batch geometry (padded by repeats,
+                # like the stage batch) instead of one RoBERTa forward each
+                text_idx = [i for i, r in enumerate(reqs) if r.clap_token_ids is None]
+                text_toks = None
+                if text_idx:
+                    texts = [reqs[i].text for i in text_idx]
+                    while len(texts) < self.batch_size:
+                        texts.append(texts[-1])
+                    text_toks = self.musiclm.clap_tokens_from_text(texts)
                 toks = []
-                for r in reqs:
+                for i, r in enumerate(reqs):
                     if r.clap_token_ids is not None:
                         toks.append(jnp.asarray(r.clap_token_ids))
                     else:
-                        toks.append(self.musiclm.clap_tokens_from_text([r.text])[0])
+                        toks.append(text_toks[text_idx.index(i)])
                 # pad to the fixed batch geometry by repeating the last request
                 while len(toks) < self.batch_size:
                     toks.append(toks[-1])

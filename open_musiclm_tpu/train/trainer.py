@@ -147,7 +147,9 @@ class StageTrainer:
         # state is built FROM the sharded params, so mu/nu inherit shardings.
         params = shard_params(self.mesh, params)
         opt_state = self.optimizer.init(params)
-        step = jax.device_put(jnp.zeros((), jnp.int32), replicated(self.mesh))
+        step = jnp.zeros((), jnp.int32)
+        if self.mesh.size > 1:
+            step = jax.device_put(step, replicated(self.mesh))
         return TrainState(params=params, opt_state=opt_state, step=step)
 
     # ---- compiled steps ----
@@ -210,17 +212,35 @@ class StageTrainer:
 
     # ---- public API ----
 
+    def _commit_batch(self, batch, spec: P):
+        """device_put onto the mesh UNLESS already equivalently placed — a
+        redundant put of an on-device array is a d2h+h2d round trip under
+        remote-tunneled backends (measured seconds per step). On a 1-device
+        mesh, skip the NamedSharding commitment entirely: committed-array
+        jit dispatch is ~60x slower per step under the axon tunnel (see
+        parallel/sharding.shard_params)."""
+        if self.mesh.size == 1:
+            return tuple(jnp.asarray(b) for b in batch)
+        sh = NamedSharding(self.mesh, spec)
+        out = []
+        for b in batch:
+            if isinstance(b, jax.Array) and b.sharding.is_equivalent_to(sh, b.ndim):
+                out.append(b)
+            else:
+                out.append(jax.device_put(b, sh))
+        return tuple(out)
+
     def train_step(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
         """batch: tuple of [accum, B, n_i] int arrays."""
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(None, DATA_AXIS))) for b in batch)
+        batch = self._commit_batch(batch, P(None, DATA_AXIS))
         return self._train_step(state, batch, rng)
 
     def eval_step(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(DATA_AXIS))) for b in batch)
+        batch = self._commit_batch(batch, P(DATA_AXIS))
         return self._eval_step(state.params, batch, rng)
 
     def artifact_logits(self, state: TrainState, batch: Sequence[jnp.ndarray], rng):
@@ -228,7 +248,7 @@ class StageTrainer:
         qualitative artifact dumps (train/artifacts.py)."""
         if self._artifact_step is None:
             self._artifact_step = self._build_artifact_step()
-        batch = tuple(jax.device_put(b, NamedSharding(self.mesh, P(DATA_AXIS))) for b in batch)
+        batch = self._commit_batch(batch, P(DATA_AXIS))
         return self._artifact_step(state.params, batch, rng)
 
     def log(self, step: int, **metrics):
@@ -297,6 +317,8 @@ class StageTrainer:
         )._asdict()
         tree = load_checkpoint(path, like)
         state = TrainState(**tree)
+        if self.mesh.size == 1:
+            return jax.tree_util.tree_map(jnp.asarray, state)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicated(self.mesh)), state
         )

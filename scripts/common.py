@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -39,6 +40,16 @@ def add_model_args(p: argparse.ArgumentParser):
         help="int8 fused-FF serving mode for the stage decoders (faster, "
         "approximate token parity)",
     )
+    p.add_argument(
+        "--flash_kv", default=None, choices=["bf16", "int8"],
+        help="flash-decode KV cache mode (with --int8): early exit at the "
+        "live cache length; 'int8' also keeps the cache int8 (fastest)",
+    )
+    p.add_argument(
+        "--approx_topk", action="store_true",
+        help="approx_max_k top-k cutoff in sampling (serving mode; can only "
+        "widen the sampling pool)",
+    )
 
 
 def add_training_args(p: argparse.ArgumentParser):
@@ -73,13 +84,23 @@ def build_musiclm(args):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         seed=args.seed,
     )
+    if getattr(args, "approx_topk", False):
+        # read at jit-trace time by core/sampling.top_k_filter
+        os.environ["OPEN_MUSICLM_APPROX_TOPK"] = "1"
     if getattr(args, "int8", False):
         import dataclasses
 
+        fk = getattr(args, "flash_kv", None)
         musiclm = dataclasses.replace(
             musiclm,
-            semantic_stage=dataclasses.replace(musiclm.semantic_stage, quantized=True),
-            coarse_stage=dataclasses.replace(musiclm.coarse_stage, quantized=True),
-            fine_stage=dataclasses.replace(musiclm.fine_stage, quantized=True),
+            semantic_stage=dataclasses.replace(
+                musiclm.semantic_stage, quantized=True, flash_kv=fk
+            ),
+            coarse_stage=dataclasses.replace(
+                musiclm.coarse_stage, quantized=True, flash_kv=fk
+            ),
+            fine_stage=dataclasses.replace(
+                musiclm.fine_stage, quantized=True, flash_kv=fk
+            ),
         )
     return musiclm, mc
