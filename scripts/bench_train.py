@@ -83,7 +83,8 @@ def main():
             ids(int(g.fine_audio_length_seconds * ac_hz * g.num_coarse_quantizers)),
             ids(int(g.fine_audio_length_seconds * ac_hz * g.num_fine_quantizers)),
         )
-    tokens_per_step = sum(int(np.prod(t.shape[1:])) for t in batch) * b * args.accum
+    # per-step tokens: sequence positions x microbatch x accumulation
+    tokens_per_step = sum(int(t.shape[-1]) for t in batch) * b * args.accum
 
     key = jax.random.PRNGKey(1)
     state, loss = trainer.train_step(state, batch, key)  # compile
