@@ -60,8 +60,12 @@ def _ln(x: jnp.ndarray, gamma: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return ((xf - mean) * jax.lax.rsqrt(var + eps) * gamma).astype(x.dtype)
 
 
-def quantize_stage_params(model: TokenConditionedTransformer, params) -> Dict[str, Any]:
-    """Build the int8 side-tree for the decode path."""
+def quantize_stage_params(
+    model: TokenConditionedTransformer, params, fused: bool = False
+) -> Dict[str, Any]:
+    """Build the int8 side-tree for the decode path. ``fused=True`` also
+    packs per-layer attention weights for the mega-kernel
+    (ops/fused_layer.py, flash_kv="fused")."""
     p = params["params"]
     t = p["transformer"]
     q: Dict[str, Any] = {}
@@ -80,6 +84,10 @@ def quantize_stage_params(model: TokenConditionedTransformer, params) -> Dict[st
             "proj_out": quantize_weight(f["proj_out"]["kernel"]),
             "packed": pack_ff_weights(f),
         }
+        if fused:
+            from ..ops.fused_layer import pack_layer_weights
+
+            q[f"layer_{l}"] = pack_layer_weights(a, f)
     # final-sequence logit heads: [Q, C, d] -> per-head [d, C] int8
     w = p[f"logits_{len(model.specs) - 1}"]
     heads_q, heads_s = [], []
@@ -258,6 +266,50 @@ def flash_quant_decode_step(
     return _ln(x, t["final_norm"]["gamma"]), cache
 
 
+def fused_layer_step(
+    model: TokenConditionedTransformer,
+    params,
+    qparams,
+    x_t: jnp.ndarray,  # [b, dim]
+    cache: Dict[str, jnp.ndarray],  # packed int8 layout (pack_kv_cache)
+    pos: jnp.ndarray,
+    bias_row: jnp.ndarray,
+    add_mask: jnp.ndarray,
+    *,
+    use_pallas: bool,
+):
+    """One decode step through the per-layer mega-kernel
+    (ops/fused_layer.py): attention + conv-FF in one launch per layer, all
+    weights int8, the fresh K/V row consumed from registers and written
+    back (quantized) by this wrapper AFTER the kernel."""
+    from ..ops.fused_layer import (
+        fused_layer_decode_step,
+        fused_layer_decode_step_xla,
+    )
+
+    t = params["params"]["transformer"]
+    d = model.dim_head
+    step_fn = fused_layer_decode_step if use_pallas else fused_layer_decode_step_xla
+    kv_all, kvs_all, ff_all = cache["kv"], cache["kvs"], cache["ff"]
+    x = x_t
+    for l in range(model.depth):
+        x, krow, new_ff = step_fn(
+            x, qparams[f"layer_{l}"], kv_all[l], kvs_all[l], ff_all[l],
+            pos, bias_row, add_mask, heads=model.heads,
+        )
+        kq, ks = quantize_kv_row(krow[:, :d])
+        vq, vs = quantize_kv_row(krow[:, d:])
+        kv_all = jax.lax.dynamic_update_slice(
+            kv_all, jnp.concatenate([kq, vq], -1)[None, :, None, :], (l, 0, pos, 0)
+        )
+        kvs_all = jax.lax.dynamic_update_slice(
+            kvs_all, jnp.stack([ks, vs])[None, :, :, None], (l, 0, 0, pos)
+        )
+        ff_all = jax.lax.dynamic_update_slice(ff_all, new_ff[None], (l, 0, 0, 0))
+    cache = {"kv": kv_all, "kvs": kvs_all, "ff": ff_all, "mask": cache["mask"]}
+    return _ln(x, t["final_norm"]["gamma"]), cache
+
+
 def generate_quantized(
     model: TokenConditionedTransformer,
     params,
@@ -275,7 +327,7 @@ def generate_quantized(
     use_pallas: Optional[bool] = None,
     fused_ff: bool = True,
     per_row_keys: Optional[jnp.ndarray] = None,
-    flash_kv: Optional[str] = None,  # None | "bf16" | "int8"
+    flash_kv: Optional[str] = None,  # None | "bf16" | "int8" | "fused"
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
     scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
@@ -283,7 +335,9 @@ def generate_quantized(
 
     ``flash_kv`` switches attention-over-cache to the packed-KV flash-decode
     kernel (ops/decode_attention.py): early exit at ``pos``, one DMA per
-    256-row chunk, optionally int8 cache rows ("int8" mode)."""
+    256-row chunk, optionally int8 cache rows ("int8" mode). "fused" runs
+    the whole layer (attention + conv-FF, all weights int8) as ONE launch
+    per layer (ops/fused_layer.py)."""
     specs = model.specs
     pred_spec = specs[-1]
     q_num = pred_spec.num_quantizers
@@ -316,7 +370,7 @@ def generate_quantized(
     h_all, cache = model.apply(params, x, cache, method=_tfm_prefill)
     h_last = h_all[:, -1]
     if flash_kv:
-        cache = pack_kv_cache(cache, int8=flash_kv == "int8")
+        cache = pack_kv_cache(cache, int8=flash_kv in ("int8", "fused"))
         add_mask = jnp.where(cache["mask"], 0.0, NEG_INF).astype(jnp.float32)
         if table is None:
             table = jnp.zeros((2 * alloc_len - 1, model.heads), jnp.float32)
@@ -360,10 +414,16 @@ def generate_quantized(
             bias_row = jax.lax.dynamic_slice(
                 table, (alloc_len - 1 - pos, 0), (alloc_len, table.shape[1])
             )
-            h_last, cache = flash_quant_decode_step(
-                model, params, qparams, emb, cache, pos, bias_row, add_mask,
-                int8_kv=flash_kv == "int8", use_pallas=use_pallas,
-            )
+            if flash_kv == "fused":
+                h_last, cache = fused_layer_step(
+                    model, params, qparams, emb, cache, pos, bias_row,
+                    add_mask, use_pallas=use_pallas,
+                )
+            else:
+                h_last, cache = flash_quant_decode_step(
+                    model, params, qparams, emb, cache, pos, bias_row, add_mask,
+                    int8_kv=flash_kv == "int8", use_pallas=use_pallas,
+                )
         else:
             h_last, cache = quant_decode_step(
                 model, params, qparams, emb, cache, pos, table, matmul=matmul,

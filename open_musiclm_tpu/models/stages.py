@@ -169,7 +169,9 @@ class Stage:
         if self._qparams is None:
             from .quant_decode import quantize_stage_params
 
-            self._qparams = quantize_stage_params(self.model, self.params)
+            self._qparams = quantize_stage_params(
+                self.model, self.params, fused=self.flash_kv == "fused"
+            )
         return self._qparams
 
     def generate(

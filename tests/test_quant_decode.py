@@ -247,3 +247,32 @@ def test_musiclm_with_flash_kv_stages():
         key=jax.random.PRNGKey(0), text=["flash kv pipeline"], **GEN_KW
     )
     assert wave.ndim == 2 and np.isfinite(np.asarray(wave)).all()
+
+
+def test_generate_fused_layer_matches_flash_int8():
+    """flash_kv='fused' (mega-kernel path, XLA fallback on CPU) agrees with
+    flash_kv='int8' on most argmax tokens — the only numeric difference is
+    the fresh K/V row consumed unquantized from registers."""
+    model = make_model()
+    ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    qparams = quantize_stage_params(model, params, fused=True)
+    cond = [jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, CB)]
+
+    base = np.asarray(
+        generate_quantized(
+            model, params, qparams, cond, jax.random.PRNGKey(2),
+            max_time_steps=4, temperature=0.0, use_pallas=False,
+            flash_kv="int8",
+        )
+    )
+    fused = np.asarray(
+        generate_quantized(
+            model, params, qparams, cond, jax.random.PRNGKey(2),
+            max_time_steps=4, temperature=0.0, use_pallas=False,
+            flash_kv="fused",
+        )
+    )
+    assert fused.shape == base.shape
+    assert fused.min() >= 0 and fused.max() < CB
+    assert (fused == base).mean() > 0.5
