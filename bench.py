@@ -214,6 +214,19 @@ def main():
             # remote-compile helper can fail on specific large programs)
             long_detail = {"long_form_error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # optional latency lane (BENCH_LATENCY=1): batch-1 wall time for one
+    # 4 s clip — the serving floor a single request sees
+    lat_detail = {}
+    if os.environ.get("BENCH_LATENCY", "0") == "1":
+        clap1 = clap_tokens[:1]
+        run(jax.random.PRNGKey(30), output_seconds, clap1)  # compile b=1
+        lat = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            run(jax.random.PRNGKey(31 + r), output_seconds, clap1)
+            lat.append(time.perf_counter() - t0)
+        lat_detail = {"batch1_latency_s": round(min(lat), 3)}
+
     # secondary metric: per-stage AR decode rates (tokens/sec) at one window
     def stage_rate(stage, cond_shapes, T, temp):
         cond = [
@@ -260,6 +273,7 @@ def main():
                     "approx_topk": os.environ.get("OPEN_MUSICLM_APPROX_TOPK") == "1",
                     **stage_rates,
                     **long_detail,
+                    **lat_detail,
                 },
             }
         )
