@@ -91,6 +91,10 @@ class MusicLM:
     wav2vec: Optional[HubertWithKmeans] = None
     tokenizer: Any = None  # host-side text tokenizer (clap.tokenizer)
     stage_devices: Optional[Tuple[Any, Any, Any, Any]] = None
+    # optional jax.sharding.Mesh: shard every stage's prompt batch over its
+    # ``dp`` axis via shard_map (multi-chip serving of the int8/Pallas decode
+    # paths; requires per_row_keys — see Stage.generate)
+    serving_mesh: Any = None
 
     def __post_init__(self):
         self._decode = jax.jit(
@@ -261,6 +265,7 @@ class MusicLM:
                 temperature=semantic_temperature,
                 filter_thres=semantic_filter_thres,
                 per_row_keys=rk0,
+                mesh=self.serving_mesh,
             )  # [b, T, 1]
         ]
         sem_total = first_T
@@ -280,6 +285,7 @@ class MusicLM:
                 temperature=semantic_temperature,
                 filter_thres=semantic_filter_thres,
                 per_row_keys=rkw,
+                mesh=self.serving_mesh,
             )
             sem_segments.append(cont[:, cond_len:])
             sem_total += cont.shape[1] - cond_len
@@ -319,6 +325,7 @@ class MusicLM:
                 temperature=coarse_temperature,
                 filter_thres=coarse_filter_thres,
                 per_row_keys=rkc,
+                mesh=self.serving_mesh,
             )  # [b, coarse_T, n_coarse]
             coarse_segments.append(
                 prev_pred if wi == 0 else prev_pred[:, coarse_cond_len:]
@@ -371,6 +378,7 @@ class MusicLM:
                 temperature=fine_temperature,
                 filter_thres=fine_filter_thres,
                 per_row_keys=rkf,
+                mesh=self.serving_mesh,
             )  # [n_windows*b, T, q]
             q = pred.shape[-1]
             pred = pred.reshape(n_windows, b, fine_window, q)
@@ -392,6 +400,7 @@ class MusicLM:
                     temperature=fine_temperature,
                     filter_thres=fine_filter_thres,
                     per_row_keys=rkf,
+                    mesh=self.serving_mesh,
                 )
                 if fine is None:
                     fine = prev_fine

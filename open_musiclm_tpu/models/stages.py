@@ -80,6 +80,21 @@ def create_fine_transformer(
     return TokenConditionedTransformer(specs=specs, dim=dim, depth=depth, **kwargs)
 
 
+def _shard_over_batch(fn, mesh, n_replicated: int):
+    """Wrap a generate fn in shard_map: the first ``n_replicated`` args stay
+    replicated (params/qparams), the rest (cond/init/keys) shard their batch
+    dim over dp. Used for multi-chip serving of the Pallas int8 decode paths
+    — GSPMD handles the plain-XLA path on its own, but pallas_call needs the
+    per-shard program shard_map provides."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (P(),) * n_replicated + (P("dp"),) * 3
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P("dp"), check_vma=False
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_generate(
     model: TokenConditionedTransformer,
@@ -90,6 +105,7 @@ def _jitted_generate(
     allow_eos_in_output: bool,
     include_eos_in_output: bool,
     per_row: bool = False,
+    mesh=None,
 ):
     def fn(params, cond_ids, init_pred, key):
         return generate(
@@ -106,6 +122,8 @@ def _jitted_generate(
             per_row_keys=key if per_row else None,
         )
 
+    if mesh is not None:
+        fn = _shard_over_batch(fn, mesh, 1)
     return jax.jit(fn)
 
 
@@ -120,6 +138,7 @@ def _jitted_generate_quantized(
     include_eos_in_output: bool,
     per_row: bool = False,
     flash_kv: Optional[str] = None,
+    mesh=None,
 ):
     def fn(params, qparams, cond_ids, init_pred, key):
         from .quant_decode import generate_quantized
@@ -140,6 +159,8 @@ def _jitted_generate_quantized(
             flash_kv=flash_kv,
         )
 
+    if mesh is not None:
+        fn = _shard_over_batch(fn, mesh, 2)
     return jax.jit(fn)
 
 
@@ -186,13 +207,25 @@ class Stage:
         allow_eos_in_output: bool = False,
         include_eos_in_output: bool = False,
         per_row_keys: Optional[jnp.ndarray] = None,
+        mesh=None,
     ) -> jnp.ndarray:
         """``per_row_keys``: optional [b] keys for batch-composition-
-        independent sampling (serving); ``key`` is ignored when given."""
+        independent sampling (serving); ``key`` is ignored when given.
+        ``mesh``: optional jax.sharding.Mesh — shard the prompt batch over
+        its ``dp`` axis via shard_map (multi-chip serving for the Pallas
+        int8 decode paths; requires per_row_keys so row i's sampling stays
+        a function of its own key regardless of the shard layout)."""
         cond = tuple(jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids)
         has_init = init_pred_ids is not None
         init = init_pred_ids if has_init else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
         per_row = per_row_keys is not None
+        if mesh is not None:
+            if not per_row:
+                raise ValueError(
+                    "mesh-sharded generate requires per_row_keys (row i's "
+                    "sampling must not depend on the shard layout)"
+                )
+            assert cond[0].shape[0] % mesh.shape["dp"] == 0
         key_arg = per_row_keys if per_row else key
         if self.quantized:
             fn = _jitted_generate_quantized(
@@ -205,6 +238,7 @@ class Stage:
                 bool(include_eos_in_output),
                 per_row,
                 self.flash_kv,
+                mesh,
             )
             return fn(self.params, self._get_qparams(), cond, init, key_arg)
         fn = _jitted_generate(
@@ -216,6 +250,7 @@ class Stage:
             bool(allow_eos_in_output),
             bool(include_eos_in_output),
             per_row,
+            mesh,
         )
         return fn(self.params, cond, init, key_arg)
 

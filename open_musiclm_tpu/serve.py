@@ -9,8 +9,10 @@ Throughput comes from batch amortization of the weight-bandwidth-bound
 decode (DESIGN.md): measured on one v5e chip, batch 64 with the int8
 fused-FF + flash int8 KV + approx-topk serving modes runs ~180 audio-sec
 per wall-second (bench.py; Stage.quantized / Stage.flash_kv /
-$OPEN_MUSICLM_APPROX_TOPK). On a multi-chip mesh, run one server per chip
-(or shard the batch over dp) — stages share no state across requests. For
+$OPEN_MUSICLM_APPROX_TOPK). On a multi-chip mesh, either run one server
+per chip or construct the MusicLM with ``serving_mesh`` — every stage then
+shard_maps its prompt batch over the mesh's dp axis (works for the Pallas
+int8 decode paths; row-exact vs unsharded, tested). For
 long-form generation, construct the server with
 ``musiclm.to_pipelined(devices)`` so the three stage loops overlap across
 devices (models/musiclm.py).
