@@ -72,3 +72,24 @@ def test_request_output_independent_of_batch_composition(tiny_musiclm):  # noqa:
     a1, _ = run([("target", 5), ("other", 6)])
     _, a2 = run([("another", 9), ("target", 5)])
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_batch_buckets_low_load_and_result_consistency(tiny_musiclm):  # noqa: F811
+    """With buckets [1, 2]: a lone request runs the batch-1 geometry and
+    its audio still equals what it gets inside a full batch (per-row
+    keys make the result bucket-independent)."""
+    server = GenerationServer(
+        tiny_musiclm, batch_size=2, batch_buckets=[1, 2],
+        batch_timeout_s=0.2, **GEN_KW, **SAMPLING_KW
+    ).start()
+    try:
+        solo = server.submit("bucket prompt", seed=3).result(timeout=600)
+        f1 = server.submit("bucket prompt", seed=3)
+        f2 = server.submit("other", seed=4)
+        paired = f1.result(timeout=600)
+        f2.result(timeout=600)
+    finally:
+        server.stop()
+    # tokens identical; the waveform drifts ~1 ulp because the Encodec convs
+    # reduce in a batch-size-dependent order
+    np.testing.assert_allclose(solo, paired, atol=1e-6)
