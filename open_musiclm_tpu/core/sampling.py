@@ -70,8 +70,9 @@ def sample_top_k_gumbel(
     logits: jnp.ndarray,
     temperature: float = 1.0,
     filter_thres: float = 0.9,
+    approx: bool | None = None,
 ) -> jnp.ndarray:
-    return gumbel_sample(key, top_k_filter(logits, filter_thres), temperature)
+    return gumbel_sample(key, top_k_filter(logits, filter_thres, approx), temperature)
 
 
 def sample_top_k_gumbel_per_row(
@@ -79,12 +80,13 @@ def sample_top_k_gumbel_per_row(
     logits: jnp.ndarray,  # [b, C]
     temperature: float = 1.0,
     filter_thres: float = 0.9,
+    approx: bool | None = None,
 ) -> jnp.ndarray:
     """Per-row-keyed sampling: row i's outcome is a function of row_keys[i]
     and logits[i] ONLY — independent of batch composition. Serving uses this
     so a request's audio is determined by its own seed, not by which batch
     it landed in."""
-    filt = top_k_filter(logits, filter_thres)
+    filt = top_k_filter(logits, filter_thres, approx)
     if isinstance(temperature, (int, float)) and temperature == 0.0:
         return jnp.argmax(filt, axis=-1)
     u = jax.vmap(

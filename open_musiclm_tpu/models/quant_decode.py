@@ -328,6 +328,8 @@ def generate_quantized(
     fused_ff: bool = True,
     per_row_keys: Optional[jnp.ndarray] = None,
     flash_kv: Optional[str] = None,  # None | "bf16" | "int8" | "fused"
+    approx_topk: Optional[bool] = None,
+    teacher_ids: Optional[jnp.ndarray] = None,  # see token_cond.generate
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
     scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
@@ -384,6 +386,11 @@ def generate_quantized(
 
     per_row = per_row_keys is not None
     rng_carry = per_row_keys if per_row else rng
+    teacher_flat = (
+        jnp.reshape(teacher_ids, (batch, -1)).astype(jnp.int32)
+        if teacher_ids is not None
+        else None
+    )
 
     def step(carry, s):
         cache, h_last, sampled, rng = carry
@@ -398,14 +405,21 @@ def generate_quantized(
         if per_row:
             sub, rng = split_row_keys(rng)
             tok = sample_top_k_gumbel_per_row(
-                sub, logits, temperature, filter_thres
+                sub, logits, temperature, filter_thres, approx_topk
             ).astype(jnp.int32)
         else:
             rng, sub = jax.random.split(rng)
-            tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
+            tok = sample_top_k_gumbel(
+                sub, logits, temperature, filter_thres, approx_topk
+            ).astype(jnp.int32)
         sampled = jax.lax.dynamic_update_slice(sampled, tok[:, None], (0, flat_idx))
+        fed = (
+            jax.lax.dynamic_slice(teacher_flat, (0, flat_idx), (batch, 1))[:, 0]
+            if teacher_flat is not None
+            else tok
+        )
         offset = q_idx * pred_spec.codebook_size if q_num > 1 else 0
-        emb = emb_table[tok + offset].astype(model.dtype)
+        emb = emb_table[fed + offset].astype(model.dtype)
         if model.use_absolute_position_embeddings:
             pos_table = params["params"][f"abs_pos_embed_{len(specs) - 1}"]["embedding"]
             emb = emb + pos_table[flat_idx].astype(model.dtype)

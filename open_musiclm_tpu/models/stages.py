@@ -89,7 +89,7 @@ def _shard_over_batch(fn, mesh, n_replicated: int):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    in_specs = (P(),) * n_replicated + (P("dp"),) * 3
+    in_specs = (P(),) * n_replicated + (P("dp"),) * 4
     return shard_map(
         fn, mesh=mesh, in_specs=in_specs, out_specs=P("dp"), check_vma=False
     )
@@ -106,8 +106,10 @@ def _jitted_generate(
     include_eos_in_output: bool,
     per_row: bool = False,
     mesh=None,
+    approx_topk: bool = False,
+    has_teacher: bool = False,
 ):
-    def fn(params, cond_ids, init_pred, key):
+    def fn(params, cond_ids, init_pred, key, teacher):
         return generate(
             model,
             params,
@@ -120,6 +122,8 @@ def _jitted_generate(
             allow_eos_in_output=allow_eos_in_output,
             include_eos_in_output=include_eos_in_output,
             per_row_keys=key if per_row else None,
+            approx_topk=approx_topk,
+            teacher_ids=teacher if has_teacher else None,
         )
 
     if mesh is not None:
@@ -139,8 +143,10 @@ def _jitted_generate_quantized(
     per_row: bool = False,
     flash_kv: Optional[str] = None,
     mesh=None,
+    approx_topk: bool = False,
+    has_teacher: bool = False,
 ):
-    def fn(params, qparams, cond_ids, init_pred, key):
+    def fn(params, qparams, cond_ids, init_pred, key, teacher):
         from .quant_decode import generate_quantized
 
         return generate_quantized(
@@ -157,6 +163,8 @@ def _jitted_generate_quantized(
             include_eos_in_output=include_eos_in_output,
             per_row_keys=key if per_row else None,
             flash_kv=flash_kv,
+            approx_topk=approx_topk,
+            teacher_ids=teacher if has_teacher else None,
         )
 
     if mesh is not None:
@@ -208,16 +216,32 @@ class Stage:
         include_eos_in_output: bool = False,
         per_row_keys: Optional[jnp.ndarray] = None,
         mesh=None,
+        approx_topk: Optional[bool] = None,
+        teacher_forced_ids: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """``per_row_keys``: optional [b] keys for batch-composition-
         independent sampling (serving); ``key`` is ignored when given.
         ``mesh``: optional jax.sharding.Mesh — shard the prompt batch over
         its ``dp`` axis via shard_map (multi-chip serving for the Pallas
         int8 decode paths; requires per_row_keys so row i's sampling stays
-        a function of its own key regardless of the shard layout)."""
+        a function of its own key regardless of the shard layout).
+        ``approx_topk``: None reads $OPEN_MUSICLM_APPROX_TOPK at CALL time
+        (resolved here, outside jit, so it participates in the jit-cache
+        key — toggling the env between calls recompiles rather than
+        silently reusing stale sampling behavior)."""
+        from ..core.sampling import _approx_topk_default
+
+        if approx_topk is None:
+            approx_topk = _approx_topk_default()
         cond = tuple(jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids)
         has_init = init_pred_ids is not None
         init = init_pred_ids if has_init else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
+        has_teacher = teacher_forced_ids is not None
+        teacher = (
+            jnp.reshape(teacher_forced_ids, (cond[0].shape[0], -1))
+            if has_teacher
+            else jnp.zeros((cond[0].shape[0], 0), jnp.int32)
+        )
         per_row = per_row_keys is not None
         if mesh is not None:
             if not per_row:
@@ -239,8 +263,10 @@ class Stage:
                 per_row,
                 self.flash_kv,
                 mesh,
+                bool(approx_topk),
+                has_teacher,
             )
-            return fn(self.params, self._get_qparams(), cond, init, key_arg)
+            return fn(self.params, self._get_qparams(), cond, init, key_arg, teacher)
         fn = _jitted_generate(
             self.model,
             int(max_time_steps),
@@ -251,8 +277,10 @@ class Stage:
             bool(include_eos_in_output),
             per_row,
             mesh,
+            bool(approx_topk),
+            has_teacher,
         )
-        return fn(self.params, cond, init, key_arg)
+        return fn(self.params, cond, init, key_arg, teacher)
 
     def loss(
         self,

@@ -333,6 +333,8 @@ def generate(
     include_eos_in_output: bool = False,
     append_eos_to_conditioning_tokens: bool = True,
     per_row_keys: Optional[jnp.ndarray] = None,
+    approx_topk: Optional[bool] = None,
+    teacher_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample the final sequence given conditioning sequences.
 
@@ -343,6 +345,13 @@ def generate(
     per_row_keys: optional [b] keys; when given, row i's sampling depends on
     per_row_keys[i] only (batch-composition-independent serving randomness)
     and ``rng`` is ignored.
+
+    teacher_ids: optional [b, max_time_steps, Q] (or flattened) reference
+    trajectory. When given, each step still SAMPLES its token (that sample
+    is what's returned) but feeds the teacher token forward into the cache,
+    so every step is scored under the teacher's prefix. Used to measure
+    per-step agreement between decode paths without AR divergence
+    compounding (scripts/measure_serving_deviation.py).
     """
     specs = model.specs
     assert len(conditioning_token_ids) == len(specs) - 1
@@ -399,6 +408,11 @@ def generate(
 
     per_row = per_row_keys is not None
     rng_carry = per_row_keys if per_row else rng
+    teacher_flat = (
+        jnp.reshape(teacher_ids, (batch, -1)).astype(jnp.int32)
+        if teacher_ids is not None
+        else None
+    )
 
     def step(carry, s):
         cache, h_last, sampled, rng = carry
@@ -413,13 +427,20 @@ def generate(
         if per_row:
             sub, rng = split_row_keys(rng)
             tok = sample_top_k_gumbel_per_row(
-                sub, logits, temperature, filter_thres
+                sub, logits, temperature, filter_thres, approx_topk
             ).astype(jnp.int32)
         else:
             rng, sub = jax.random.split(rng)
-            tok = sample_top_k_gumbel(sub, logits, temperature, filter_thres).astype(jnp.int32)
+            tok = sample_top_k_gumbel(
+                sub, logits, temperature, filter_thres, approx_topk
+            ).astype(jnp.int32)
         sampled = jax.lax.dynamic_update_slice(sampled, tok[:, None], (0, flat_idx))
-        emb = embed_pred_token(tok, flat_idx)
+        fed = (
+            jax.lax.dynamic_slice(teacher_flat, (0, flat_idx), (batch, 1))[:, 0]
+            if teacher_flat is not None
+            else tok
+        )
+        emb = embed_pred_token(fed, flat_idx)
         pos = prefill_len + s
         h_last, cache = model.apply(
             params, emb, cache, pos, table, method=_tfm_decode_step
