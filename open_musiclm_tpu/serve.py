@@ -50,6 +50,7 @@ class GenerationServer:
         batch_size: int = 8,
         batch_timeout_s: float = 0.05,
         batch_buckets: Optional[List[int]] = None,
+        num_workers: int = 2,
         **generate_kwargs,
     ):
         """``batch_buckets``: optional ascending bucket sizes (e.g.
@@ -57,7 +58,16 @@ class GenerationServer:
         of always to ``batch_size`` — low-load requests then run at
         batch-1-like latency (0.24 s vs 1.5 s for a full batch-64 pass on
         one v5e chip) at the cost of one compile per bucket geometry.
-        Defaults to [batch_size]."""
+        Defaults to [batch_size].
+
+        ``num_workers``: concurrent batch pipelines (default 2). With one
+        worker, a request arriving just after a batch dispatches waits that
+        ENTIRE batch out before its own batch even forms; with two, the
+        second worker forms and dispatches the late batch immediately, so it
+        runs as soon as the device drains the in-flight work (JAX async
+        dispatch queues it) instead of after the first batch's host sync.
+        Per-request seeds keep results identical regardless of which worker
+        or batch a request lands in (tests/test_serve.py)."""
         self.musiclm = musiclm
         self.batch_size = batch_size
         self.batch_timeout_s = batch_timeout_s
@@ -65,24 +75,43 @@ class GenerationServer:
         assert self.batch_buckets[-1] == batch_size, (
             "largest bucket must equal batch_size"
         )
+        self.num_workers = max(1, int(num_workers))
         self.generate_kwargs = generate_kwargs
         self._queue: "queue.Queue[Optional[GenerationRequest]]" = queue.Queue()
-        self._thread: Optional[threading.Thread] = None
+        self._threads: List[threading.Thread] = []
         self._running = False
 
     # ---- public API ----
 
     def start(self):
         self._running = True
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True, name=f"gen-worker-{i}")
+            for i in range(self.num_workers)
+        ]
+        for t in self._threads:
+            t.start()
         return self
 
     def stop(self):
+        """Stop the workers. In-flight batches finish and resolve; requests
+        still queued (never dispatched) get their futures CANCELLED rather
+        than left dangling forever."""
         self._running = False
-        self._queue.put(None)
-        if self._thread is not None:
-            self._thread.join(timeout=60)
+        for _ in self._threads or [None]:
+            self._queue.put(None)
+        for t in self._threads:
+            t.join(timeout=60)
+        self._threads = []
+        # drain: everything still in the queue was never picked up
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                if not r.future.cancel():  # pragma: no cover - already running
+                    r.future.set_exception(RuntimeError("server stopped"))
 
     def submit(
         self, text: Optional[str] = None, clap_token_ids=None, seed: int = 0
