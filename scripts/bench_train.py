@@ -1,10 +1,19 @@
-"""Training-throughput benchmark: one-chip stage train step.
+"""Training-throughput benchmark: one-chip stage train step, with MFU.
 
 Times StageTrainer's jitted train step (in-scan grad accumulation, AdamW,
-clip) at the musiclm_small geometry and prints tokens/sec and steps/sec.
-Run on the real TPU:
+clip) and prints tokens/sec, analytic model-FLOPs MFU (formula:
+train/flops.py — 3x forward matmul FLOPs / step time / chip peak), and the
+XLA cost-analysis FLOPs as a cross-check. Run on the real TPU:
 
     python scripts/bench_train.py --stage semantic --batch 8 --accum 2
+    python scripts/bench_train.py --stage coarse --model musiclm_large_small_context \
+        --remat 1 --batch 4
+
+Knobs: --model {musiclm_small,musiclm_large_small_context,musiclm_large}
+(large = d1024 x 24L x 16H), --remat (jax.checkpoint per block), --pallas
+(OPEN_MUSICLM_PALLAS: fused Pallas training attention vs plain XLA),
+--param_dtype {f32,bf16} (bf16 master params: halves param/grad HBM traffic;
+optimizer runs in the param dtype).
 
 Reference comparison point: the authors trained semantic at batch 4 x
 accum 8 on unspecified GPUs (configs/training/train_musiclm_fma.json);
@@ -18,45 +27,70 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/omt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
-
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="semantic", choices=["semantic", "coarse", "fine"])
+    p.add_argument("--model", default="musiclm_small")
     p.add_argument("--batch", type=int, default=8, help="microbatch per step")
     p.add_argument("--accum", type=int, default=2)
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--bf16", type=int, default=1, help="compute dtype bf16")
+    p.add_argument("--param_dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--remat", type=int, default=0)
+    p.add_argument("--pallas", type=int, default=None,
+                   help="1/0 force fused Pallas training attention on/off")
+    p.add_argument("--json", action="store_true", help="emit one JSON line")
     args = p.parse_args()
+
+    if args.pallas is not None:
+        os.environ["OPEN_MUSICLM_PALLAS"] = str(args.pallas)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/omt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from open_musiclm_tpu.config import init_stage, load_model_config
     from open_musiclm_tpu.models.token_cond import StageLossConfig
+    from open_musiclm_tpu.train.flops import (
+        peak_flops_per_chip,
+        stage_train_flops,
+    )
     from open_musiclm_tpu.train.trainer import StageTrainer
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    mc = load_model_config(os.path.join(root, "configs/model/musiclm_small.json"))
+    mc = load_model_config(os.path.join(root, f"configs/model/{args.model}.json"))
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     stage = init_stage(mc, args.stage, jax.random.PRNGKey(0), dtype=dtype)
+    model = stage.model
+    params = stage.params
+    if args.remat:
+        model = model.clone(remat=True)
+    if args.param_dtype == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
 
     trainer = StageTrainer(
-        model=stage.model,
-        loss_cfg=StageLossConfig((0.0,) * (len(stage.model.specs) - 1) + (1.0,)),
+        model=model,
+        loss_cfg=StageLossConfig((0.0,) * (len(model.specs) - 1) + (1.0,)),
         lr=3e-4, wd=0.1, lr_warmup=10, max_grad_norm=0.5,
         grad_accum_every=args.accum,
         results_folder="/tmp/bench_train",
         save_model_every=0, save_results_every=0,
         stage_name=args.stage,
+        use_tensorboard=False,
     )
-    state = trainer.init_state(stage.params)
+    state = trainer.init_state(params)
 
     # token batch at the training geometry (SURVEY 2.4)
     sem_hz = mc.hubert_kmeans_cfg.output_hz
@@ -70,37 +104,74 @@ def main():
         return jnp.asarray(rng.integers(0, hi, (args.accum, b) + shape), jnp.int32)
 
     if args.stage == "semantic":
-        batch = (ids(nq_clap), ids(int(g.semantic_audio_length_seconds * sem_hz) - 1))
+        lens = (nq_clap, int(g.semantic_audio_length_seconds * sem_hz) - 1)
     elif args.stage == "coarse":
-        batch = (
-            ids(nq_clap),
-            ids(int(g.coarse_audio_length_seconds * sem_hz) - 1),
-            ids(int(g.coarse_audio_length_seconds * ac_hz * g.num_coarse_quantizers)),
+        lens = (
+            nq_clap,
+            int(g.coarse_audio_length_seconds * sem_hz) - 1,
+            int(g.coarse_audio_length_seconds * ac_hz * g.num_coarse_quantizers),
         )
     else:
-        batch = (
-            ids(nq_clap),
-            ids(int(g.fine_audio_length_seconds * ac_hz * g.num_coarse_quantizers)),
-            ids(int(g.fine_audio_length_seconds * ac_hz * g.num_fine_quantizers)),
+        lens = (
+            nq_clap,
+            int(g.fine_audio_length_seconds * ac_hz * g.num_coarse_quantizers),
+            int(g.fine_audio_length_seconds * ac_hz * g.num_fine_quantizers),
         )
+    batch = tuple(ids(n) for n in lens)
     # per-step tokens: sequence positions x microbatch x accumulation
-    tokens_per_step = sum(int(t.shape[-1]) for t in batch) * b * args.accum
+    tokens_per_step = sum(lens) * b * args.accum
 
     key = jax.random.PRNGKey(1)
     state, loss = trainer.train_step(state, batch, key)  # compile
     float(loss)  # forced sync (block_until_ready is unreliable under axon)
+
+    # XLA's own cost model, as a cross-check on the analytic formula
+    xla_flops = None
+    try:
+        lowered = trainer._build_train_step().lower(state, batch, key)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            xla_flops = float(c.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, loss = trainer.train_step(state, batch, jax.random.fold_in(key, i))
     loss = float(loss)  # sync once; steps pipeline like the real loop
     dt = (time.perf_counter() - t0) / args.steps
 
-    print(
-        f"{args.stage}: {dt * 1e3:.1f} ms/step  "
-        f"{tokens_per_step / dt:,.0f} tok/s  "
-        f"(microbatch {b} x accum {args.accum}, {tokens_per_step} tok/step, "
-        f"loss {float(loss):.3f}, dtype {'bf16' if args.bf16 else 'f32'})"
+    model_flops = stage_train_flops(model, lens, b, args.accum)
+    peak = peak_flops_per_chip(jax.devices()[0].device_kind, "bf16" if args.bf16 else "f32")
+    mfu = model_flops / dt / peak
+    cfg_s = (
+        f"microbatch {b} x accum {args.accum}, depth {model.depth}, "
+        f"remat {args.remat}, pallas {os.environ.get('OPEN_MUSICLM_PALLAS', 'default')}, "
+        f"dtype {'bf16' if args.bf16 else 'f32'}/{args.param_dtype}"
     )
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "stage": args.stage, "model": args.model,
+            "ms_per_step": round(dt * 1e3, 1),
+            "tok_per_s": round(tokens_per_step / dt),
+            "mfu": round(mfu, 4),
+            "model_tflops_per_step": round(model_flops / 1e12, 3),
+            "xla_tflops_per_step": round(xla_flops / 1e12, 3) if xla_flops else None,
+            "peak_tflops": peak / 1e12,
+            "batch": b, "accum": args.accum, "remat": args.remat,
+            "depth": model.depth, "loss": round(loss, 3),
+        }))
+    else:
+        xla_s = f", xla {xla_flops / 1e12:.2f} TF/step" if xla_flops else ""
+        print(
+            f"{args.stage}[{args.model}]: {dt * 1e3:.1f} ms/step  "
+            f"{tokens_per_step / dt:,.0f} tok/s  MFU {mfu * 100:.1f}%  "
+            f"(model {model_flops / 1e12:.2f} TF/step{xla_s}, peak {peak / 1e12:.0f} TF/s, "
+            f"{cfg_s}, loss {loss:.3f})"
+        )
 
 
 if __name__ == "__main__":
