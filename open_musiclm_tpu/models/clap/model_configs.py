@@ -64,6 +64,27 @@ _AUDIO_PRESETS = {
     "PANN-6": ("pann", "Cnn6", {}),
 }
 
+# name -> (embed_dim, text-cfg overrides): the joint-space width and the
+# CLIP-style text tower each JSON declares (model_configs/*.json `embed_dim`
+# + `text_cfg`). All presets use the 77-ctx/49408-vocab/512-wide/8-head CLIP
+# text transformer; only PANN-14-tiny-transformer shrinks it to 4 layers
+# (PANN-14-tiny-transformer.json:17-23). Note the shipped MusicLM configs
+# swap this text tower for RoBERTa (tmodel 'roberta') and joint width 512
+# at the CLAP level — these are the per-JSON declarations.
+_CLAP_PRESETS = {
+    "HTSAT-tiny": (768, {}),
+    "HTSAT-base": (1024, {}),
+    "HTSAT-large": (2048, {}),
+    "HTSAT-tiny-win-1536": (768, {}),
+    "PANN-14": (2048, {}),
+    "PANN-14-fmax-18k": (2048, {}),
+    "PANN-14-fmax-8k-20s": (2048, {}),
+    "PANN-14-win-1536": (2048, {}),
+    "PANN-14-tiny-transformer": (2048, {"layers": 4}),
+    "PANN-10": (1024, {}),
+    "PANN-6": (512, {}),
+}
+
 
 def list_audio_presets() -> Tuple[str, ...]:
     return tuple(_AUDIO_PRESETS)
@@ -93,3 +114,39 @@ def audio_config_from_name(
             **overrides,
         )
     return PANNConfig(arch=size, **overrides)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClapPresetConfig:
+    """Full per-name CLAP preset: audio tower + the CLIP text tower and
+    joint-space width the JSON declares (factory.py loads the whole JSON;
+    model.py:422-543 consumes audio_cfg/text_cfg/embed_dim)."""
+
+    name: str
+    audio_cfg: object  # HTSATConfig | PANNConfig
+    text_cfg: object  # ClipTextConfig
+    embed_dim: int
+
+
+def clap_config_from_name(
+    name: str, *, enable_fusion: bool = False, fusion_type: str = "aff_2d"
+) -> ClapPresetConfig:
+    """Resolve a preset name to its FULL declaration (audio + text + embed).
+
+    ``audio_config_from_name`` stays the narrow audio-geometry entry point;
+    this returns everything the reference JSON carries so a CLAP assembled
+    from a non-MusicLM preset (e.g. PANN-14-tiny-transformer's 4-layer CLIP
+    text tower at embed_dim 2048) gets the declared towers, not defaults.
+    """
+    from .clip_text import ClipTextConfig
+
+    audio = audio_config_from_name(
+        name, enable_fusion=enable_fusion, fusion_type=fusion_type
+    )
+    embed_dim, text_overrides = _CLAP_PRESETS[name]
+    text = ClipTextConfig(
+        context_length=77, vocab_size=49408, width=512, heads=8, **text_overrides
+    )
+    return ClapPresetConfig(
+        name=name, audio_cfg=audio, text_cfg=text, embed_dim=embed_dim
+    )

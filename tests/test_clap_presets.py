@@ -50,6 +50,45 @@ def test_pann_mel_geometry_variants():
     assert audio_config_from_name("PANN-6").arch == "Cnn6"
 
 
+def test_full_presets_carry_embed_dim_and_text_cfg():
+    """clap_config_from_name mirrors each JSON's embed_dim + text_cfg
+    (model_configs/*.json), not just the audio geometry."""
+    from open_musiclm_tpu.models.clap.model_configs import clap_config_from_name
+
+    # per reference model_configs/*.json `embed_dim`
+    expect_embed = {
+        "HTSAT-tiny": 768, "HTSAT-base": 1024, "HTSAT-large": 2048,
+        "HTSAT-tiny-win-1536": 768, "PANN-14": 2048,
+        "PANN-14-fmax-18k": 2048, "PANN-14-fmax-8k-20s": 2048,
+        "PANN-14-win-1536": 2048, "PANN-14-tiny-transformer": 2048,
+        "PANN-10": 1024, "PANN-6": 512,
+    }
+    for name in REFERENCE_PRESETS:
+        full = clap_config_from_name(name)
+        assert full.embed_dim == expect_embed[name], name
+        # every preset declares the 77-ctx CLIP text transformer ...
+        assert (full.text_cfg.context_length, full.text_cfg.vocab_size) == (77, 49408)
+        assert (full.text_cfg.width, full.text_cfg.heads) == (512, 8)
+        # ... 12-layer except the tiny-transformer variant (its JSON:17-23)
+        expected_layers = 4 if name == "PANN-14-tiny-transformer" else 12
+        assert full.text_cfg.layers == expected_layers, name
+        assert full.audio_cfg is not None
+
+
+def test_tiny_transformer_preset_assembles_clip_text_tower():
+    """The PANN-14-tiny-transformer preset's declared 4-layer CLIP text
+    tower actually instantiates and embeds into the declared joint space."""
+    from open_musiclm_tpu.models.clap.clip_text import ClipTextTransformer
+    from open_musiclm_tpu.models.clap.model_configs import clap_config_from_name
+
+    full = clap_config_from_name("PANN-14-tiny-transformer")
+    tower = ClipTextTransformer(cfg=full.text_cfg, joint_embed_shape=full.embed_dim)
+    ids = jnp.zeros((2, 77), jnp.int32)
+    params = tower.init(jax.random.PRNGKey(0), ids)
+    emb = tower.apply(params, ids)
+    assert emb.shape == (2, 2048)
+
+
 def test_unknown_preset_raises():
     with pytest.raises(KeyError):
         audio_config_from_name("ViT-B-32")  # CLIP-vision: not carried
