@@ -210,8 +210,20 @@ def main():
                 "long_form_includes_clap_text": True,
             }
         except Exception as exc:  # pragma: no cover
-            # never let the long lane take down the headline metric (the axon
-            # remote-compile helper can fail on specific large programs)
+            # a long-lane failure must be VISIBLE: full traceback to stderr
+            # always; BENCH_STRICT=1 additionally fails the whole bench
+            # (exit nonzero) so CI can gate on it — a silently missing
+            # long_form_rt is a masked regression either way
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            print(
+                f"BENCH: long-form lane FAILED: {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+                flush=True,
+            )
+            if os.environ.get("BENCH_STRICT", "0") == "1":
+                raise
             long_detail = {"long_form_error": f"{type(exc).__name__}: {exc}"[:300]}
 
     # optional latency lane (BENCH_LATENCY=1): batch-1 wall time for one
