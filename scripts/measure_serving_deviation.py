@@ -1,0 +1,223 @@
+"""Quantify serving-mode token deviation (VERDICT r2 weak #6).
+
+The default serving stack (int8 weights + int8 flash-KV + approx-topk) is an
+approximation of the fp decode path. This script replaces PARITY.md's
+"typically agrees" with numbers, at the REAL musiclm_small stage geometry:
+
+  1. per-stage PER-STEP agreement, teacher-forced: the serving path is
+     scored along the fp path's trajectory (same per-row keys => identical
+     gumbel noise; identical prefixes => no AR divergence compounding), so
+     a mismatch at step t means the serving kernels' logit perturbation
+     flipped THAT step's noisy argmax;
+  2. per-stage free-running divergence: fraction of rows whose whole token
+     sequence matches, and the mean first-divergence step (AR sampling
+     compounds the first flip — this is the deployment-visible number);
+  3. end-to-end waveform SNR between the fp pipeline and the serving
+     pipeline for the same per-row seeds.
+
+Weights are random-init (no pretrained checkpoints in this environment), so
+the logit-gap distribution differs from a trained model; the per-step
+agreement still measures exactly the serving kernels' numeric perturbation.
+Run on the real TPU (the Pallas int8/flash kernels are the thing measured):
+
+    python scripts/measure_serving_deviation.py [--batch 16] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16, help="rows = independent seeds")
+    ap.add_argument("--model", default="musiclm_small")
+    ap.add_argument("--json", default=None, help="also write the report here")
+    ap.add_argument("--approx_topk", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/omt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import dataclasses
+
+    from open_musiclm_tpu.config import init_stage, load_model_config
+    from open_musiclm_tpu.models.encodec import create_encodec_24khz
+    from open_musiclm_tpu.models.musiclm import MusicLM
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mc = load_model_config(os.path.join(root, f"configs/model/{args.model}.json"))
+    dtype = jnp.bfloat16
+    k = jax.random.PRNGKey(0)
+    fp_stages = {
+        name: init_stage(mc, name, jax.random.fold_in(k, i), dtype=dtype)
+        for i, name in enumerate(["semantic", "coarse", "fine"], 1)
+    }
+
+    def to_bf16(p):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            p,
+        )
+
+    fp_stages = {
+        n: dataclasses.replace(s, params=to_bf16(s.params))
+        for n, s in fp_stages.items()
+    }
+    srv_stages = {
+        n: dataclasses.replace(s, quantized=True, flash_kv="int8")
+        for n, s in fp_stages.items()
+    }
+
+    sem_hz = mc.hubert_kmeans_cfg.output_hz
+    ac_hz = mc.encodec_cfg.output_hz
+    nq_clap = mc.clap_rvq_cfg.rq_num_quantizers
+    g = mc.global_cfg
+    B = args.batch
+    approx = bool(args.approx_topk)
+
+    # (cond shapes, decode steps, temperature) per stage at the real
+    # single-window geometry (SURVEY.md 2.4; pipeline temps musiclm.py:160)
+    geo = {
+        "semantic": (
+            [(nq_clap,)],
+            int(g.semantic_audio_length_seconds * sem_hz),
+            1.0,
+        ),
+        "coarse": (
+            [(nq_clap,), (int(g.coarse_audio_length_seconds * sem_hz) - 1,)],
+            int(g.coarse_audio_length_seconds * ac_hz),
+            0.95,
+        ),
+        "fine": (
+            [
+                (nq_clap,),
+                (int(g.fine_audio_length_seconds * ac_hz) * g.num_coarse_quantizers,),
+            ],
+            int(g.fine_audio_length_seconds * ac_hz),
+            0.4,
+        ),
+    }
+
+    report = {
+        "model": args.model,
+        "batch_rows": B,
+        "serving_stack": {
+            "int8_weights": True,
+            "flash_kv": "int8",
+            "approx_topk": approx,
+        },
+        "device": str(jax.devices()[0]),
+        "stages": {},
+    }
+
+    row_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    for name, (cond_shapes, T, temp) in geo.items():
+        cond = [
+            jax.random.randint(jax.random.fold_in(k, 40 + i), (B,) + s, 0, 1024)
+            for i, s in enumerate(cond_shapes)
+        ]
+        kw = dict(max_time_steps=T, per_row_keys=row_keys, temperature=temp)
+        ref = np.asarray(
+            fp_stages[name].generate(cond, None, approx_topk=False, **kw)
+        )
+        # per-step agreement under identical prefixes (teacher-forced)
+        scored = np.asarray(
+            srv_stages[name].generate(
+                cond, None, approx_topk=approx,
+                teacher_forced_ids=jnp.asarray(ref), **kw,
+            )
+        )
+        step_mismatch = float(np.mean(scored != ref))
+        # free-running: deployment-visible divergence
+        free = np.asarray(
+            srv_stages[name].generate(cond, None, approx_topk=approx, **kw)
+        )
+        rows_equal = float(np.mean(np.all(free.reshape(B, -1) == ref.reshape(B, -1), axis=1)))
+        flat_ref = ref.reshape(B, -1)
+        flat_free = free.reshape(B, -1)
+        first_div = []
+        for r in range(B):
+            neq = np.nonzero(flat_ref[r] != flat_free[r])[0]
+            first_div.append(int(neq[0]) if len(neq) else flat_ref.shape[1])
+        report["stages"][name] = {
+            "decode_steps": T,
+            "quantizers": int(ref.shape[-1]),
+            "temperature": temp,
+            "per_step_token_mismatch_pct": round(100 * step_mismatch, 3),
+            "free_running_rows_identical_pct": round(100 * rows_equal, 1),
+            "mean_first_divergence_step": round(float(np.mean(first_div)), 1),
+            "total_flat_steps": int(flat_ref.shape[1]),
+        }
+        print(f"{name}: {json.dumps(report['stages'][name])}", flush=True)
+
+    # ---- end-to-end waveform SNR (same seeds, fp vs serving pipeline) ----
+    codec = create_encodec_24khz(
+        bandwidth=mc.encodec_cfg.bandwidth,
+        codebook_size=mc.encodec_cfg.codebook_size,
+        dtype=jnp.bfloat16,
+    )
+    codec_params = to_bf16(codec.init(jax.random.PRNGKey(4), jnp.zeros((1, 2400))))
+
+    def pipeline(stages):
+        return MusicLM(
+            clap=None,
+            codec=codec,
+            codec_params=codec_params,
+            semantic_stage=stages["semantic"],
+            coarse_stage=stages["coarse"],
+            fine_stage=stages["fine"],
+        )
+
+    clap_tokens = jax.random.randint(jax.random.PRNGKey(5), (B, nq_clap, 1), 0, 1024)
+    gen_kw = dict(
+        clap_token_ids=clap_tokens,
+        per_row_keys=row_keys,
+        output_seconds=4.0,
+        semantic_window_seconds=int(g.semantic_audio_length_seconds),
+        coarse_window_seconds=int(g.coarse_audio_length_seconds),
+        fine_window_seconds=int(g.fine_audio_length_seconds),
+    )
+    if approx:
+        os.environ["OPEN_MUSICLM_APPROX_TOPK"] = "1"
+    else:
+        os.environ.pop("OPEN_MUSICLM_APPROX_TOPK", None)
+    w_srv = np.asarray(pipeline(srv_stages).generate(**gen_kw), np.float32)
+    os.environ.pop("OPEN_MUSICLM_APPROX_TOPK", None)
+    w_fp = np.asarray(pipeline(fp_stages).generate(**gen_kw), np.float32)
+    err = w_fp - w_srv
+    snr_db = 10.0 * np.log10(
+        (np.sum(w_fp**2) + 1e-12) / (np.sum(err**2) + 1e-12)
+    )
+    rows_identical = float(np.mean(np.all(w_fp == w_srv, axis=-1)))
+    report["end_to_end"] = {
+        "output_seconds": 4.0,
+        "waveform_snr_db": round(float(snr_db), 2),
+        "rows_waveform_identical_pct": round(100 * rows_identical, 1),
+        "note": (
+            "AR sampling compounds the first flipped token, so free-running "
+            "waveforms diverge to decorrelated-but-valid audio once any step "
+            "flips; the per-step teacher-forced mismatch above is the "
+            "kernel-numerics metric"
+        ),
+    }
+    print(json.dumps(report))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
