@@ -125,7 +125,10 @@ def main():
     state, loss = trainer.train_step(state, batch, key)  # compile
     float(loss)  # forced sync (block_until_ready is unreliable under axon)
 
-    # XLA's own cost model, as a cross-check on the analytic formula
+    # XLA's own cost model, as a cross-check on the analytic formula.
+    # NB: cost_analysis counts the grad-accumulation lax.scan BODY once, so
+    # expect xla ~= model_flops / accum (measured within 1% on semantic:
+    # 1.527 vs 3.077/2 TF)
     xla_flops = None
     try:
         lowered = trainer._build_train_step().lower(state, batch, key)
