@@ -34,7 +34,9 @@ def main():
     p.add_argument("--model", default="musiclm_small")
     p.add_argument("--batch", type=int, default=8, help="microbatch per step")
     p.add_argument("--accum", type=int, default=2)
-    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--steps", type=int, default=10, help="steps per timed chunk")
+    p.add_argument("--chunks", type=int, default=3,
+                   help="timed chunks; fastest wins (tunnel interference)")
     p.add_argument("--bf16", type=int, default=1, help="compute dtype bf16")
     p.add_argument("--param_dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--remat", type=int, default=0)
@@ -139,11 +141,20 @@ def main():
     except Exception:
         pass
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, loss = trainer.train_step(state, batch, jax.random.fold_in(key, i))
-    loss = float(loss)  # sync once; steps pipeline like the real loop
-    dt = (time.perf_counter() - t0) / args.steps
+    # time CHUNKS of steps and take the fastest chunk: the tunneled chip has
+    # multi-minute >2x interference episodes (BENCHMARKS.md hazards), so a
+    # single averaged window can be silently contaminated — a wide chunk
+    # spread marks a contaminated lane
+    chunk_times = []
+    for c in range(max(1, args.chunks)):
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, loss = trainer.train_step(
+                state, batch, jax.random.fold_in(key, c * args.steps + i)
+            )
+        loss = float(loss)  # sync once; steps pipeline like the real loop
+        chunk_times.append((time.perf_counter() - t0) / args.steps)
+    dt = min(chunk_times)
 
     model_flops = stage_train_flops(model, lens, b, args.accum)
     peak = peak_flops_per_chip(jax.devices()[0].device_kind, "bf16" if args.bf16 else "f32")
@@ -159,6 +170,7 @@ def main():
         print(json.dumps({
             "stage": args.stage, "model": args.model,
             "ms_per_step": round(dt * 1e3, 1),
+            "ms_per_step_all_chunks": [round(t * 1e3, 1) for t in chunk_times],
             "tok_per_s": round(tokens_per_step / dt),
             "mfu": round(mfu, 4),
             "model_tflops_per_step": round(model_flops / 1e12, 3),
