@@ -45,7 +45,6 @@ def main():
     # the int8 paths (core/sampling.py)
     if os.environ.get("BENCH_APPROX_TOPK", "1") == "1":
         os.environ.setdefault("OPEN_MUSICLM_APPROX_TOPK", "1")
-    output_seconds = float(os.environ.get("BENCH_SECONDS", "4"))
     # BENCH_MODEL: musiclm_small (default) | musiclm_large_small_context |
     # musiclm_large — the large configs run the d1024x24L stage geometry
     model_name = os.environ.get("BENCH_MODEL", "musiclm_small")
@@ -56,6 +55,22 @@ def main():
             f"configs/model/{model_name}.json",
         )
     )
+    # window geometry comes from the loaded config, NOT constants: the r3
+    # large_longform lane died because a hardcoded 4 s default can never
+    # drive musiclm_large's 30/10/3 s windows (.lanes/large_longform.err)
+    sem_window = float(mc.global_cfg.semantic_audio_length_seconds)
+    coarse_window = float(mc.global_cfg.coarse_audio_length_seconds)
+    fine_window = float(mc.global_cfg.fine_audio_length_seconds)
+    output_seconds = float(os.environ.get("BENCH_SECONDS", str(max(4.0, coarse_window))))
+    if output_seconds < coarse_window:
+        print(
+            f"BENCH: BENCH_SECONDS={output_seconds} < coarse window "
+            f"({coarse_window} s for {model_name}); clamping to the minimum "
+            "generable clip (one coarse window)",
+            file=sys.stderr,
+            flush=True,
+        )
+        output_seconds = coarse_window
     dtype = jnp.bfloat16
     k = jax.random.PRNGKey(0)
     semantic = init_stage(mc, "semantic", jax.random.fold_in(k, 1), dtype=dtype)
@@ -124,9 +139,9 @@ def main():
             key=key,
             clap_token_ids=clap_ids,
             output_seconds=seconds,
-            semantic_window_seconds=int(mc.global_cfg.semantic_audio_length_seconds),
-            coarse_window_seconds=int(mc.global_cfg.coarse_audio_length_seconds),
-            fine_window_seconds=int(mc.global_cfg.fine_audio_length_seconds),
+            semantic_window_seconds=int(sem_window),
+            coarse_window_seconds=int(coarse_window),
+            fine_window_seconds=int(fine_window),
         )
         # np.asarray forces a device->host sync; block_until_ready alone does
         # not reliably wait under the axon remote backend
@@ -152,7 +167,10 @@ def main():
     # exercises the sequential sliding-window loops (models/musiclm.py) the
     # short-clip lane never enters, with the CLAP text tower (RoBERTa-base +
     # RVQ) inside the timed path (VERDICT r1 weak #2/#5)
-    long_seconds = float(os.environ.get("BENCH_LONG_SECONDS", "16"))
+    # default = 1.6x the semantic window so the lane always exercises the
+    # multi-window continuation path (16 s for small's 10 s window, 48 s for
+    # large's 30 s window)
+    long_seconds = float(os.environ.get("BENCH_LONG_SECONDS", str(1.6 * sem_window)))
     long_detail = {}
     if long_seconds > 0:
         from open_musiclm_tpu.models.clap.clap import CLAP, ClapQuantized
@@ -253,18 +271,29 @@ def main():
         q = stage.model.specs[-1].num_quantizers
         return round(batch * T * q / dt, 1)
 
+    # per-stage windows derive from the config (was hardcoded 4 s/2 s, which
+    # mismeasured any non-small geometry): semantic probes the full window's
+    # token count (499 small / 1499 large), coarse/fine probe one window each
     sem_hz = mc.hubert_kmeans_cfg.output_hz
     ac_hz = mc.encodec_cfg.output_hz
     nq_clap = mc.clap_rvq_cfg.rq_num_quantizers
-    sem_T = int(min(output_seconds, mc.global_cfg.semantic_audio_length_seconds) * sem_hz)
+    nq_coarse = mc.global_cfg.num_coarse_quantizers
+    sem_T = int(min(output_seconds, sem_window) * sem_hz)
     stage_rates = {
         "semantic_tok_per_s": stage_rate(semantic, [(nq_clap,)], sem_T, 1.0),
         "coarse_tok_per_s": stage_rate(
-            coarse, [(nq_clap,), (int(4 * sem_hz) - 1,)], int(4 * ac_hz), 0.95
+            coarse,
+            [(nq_clap,), (int(coarse_window * sem_hz) - 1,)],
+            int(coarse_window * ac_hz),
+            0.95,
         ),
         "fine_tok_per_s": stage_rate(
-            fine, [(nq_clap,), (int(2 * ac_hz) * 3,)], int(2 * ac_hz), 0.4
+            fine,
+            [(nq_clap,), (int(fine_window * ac_hz) * nq_coarse,)],
+            int(fine_window * ac_hz),
+            0.4,
         ),
+        "semantic_probe_steps": sem_T,
     }
     print(
         json.dumps(

@@ -401,6 +401,37 @@ def import_htsat(sd: StateDict, cfg) -> dict:
     return {"params": params, "batch_stats": bn_stats}
 
 
+def import_pann(sd: StateDict, model) -> dict:
+    """PANN tower state dict (reference pann_model.py Cnn14/Cnn10/Cnn6;
+    audio_branch.* already stripped) -> models/clap/pann.PANN variables."""
+
+    def bn(prefix):
+        return (
+            {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]},
+            {"mean": sd[prefix + ".running_mean"], "var": sd[prefix + ".running_var"]},
+        )
+
+    bn0_p, bn0_s = bn("bn0")
+    params: dict = {
+        "bn0": bn0_p,
+        "fc1": linear(sd, "fc1"),
+        "fc_audioset": linear(sd, "fc_audioset"),
+    }
+    stats: dict = {"bn0": bn0_s}
+    n_convs = 1 if model.arch == "Cnn6" else 2
+    for i in range(len(model.channels)):
+        blk_p, blk_s = {}, {}
+        for j in range(1, n_convs + 1):
+            p = f"conv_block{i + 1}.conv{j}.weight"
+            blk_p[f"conv{j}"] = conv2d(sd[p])
+            bnp, bns = bn(f"conv_block{i + 1}.bn{j}")
+            blk_p[f"bn{j}"] = bnp
+            blk_s[f"bn{j}"] = bns
+        params[f"conv_block{i + 1}"] = blk_p
+        stats[f"conv_block{i + 1}"] = blk_s
+    return {"params": params, "batch_stats": stats}
+
+
 def _projection(sd: StateDict, prefix: str) -> dict:
     return {
         "fc1": linear(sd, prefix + "0"),

@@ -90,15 +90,18 @@ class PANN(nn.Module):
 
     @property
     def channels(self) -> Sequence[int]:
+        # per-arch block widths (pann_model.py: Cnn14 :182-188, Cnn10
+        # :460-466, Cnn6 :365-369); Cnn10 has FIVE blocks ending at 1024 —
+        # caught by tests/test_reference_tower_parity.py executed parity
         return {
             "Cnn14": (64, 128, 256, 512, 1024, 2048),
-            "Cnn10": (64, 128, 256, 512),
+            "Cnn10": (64, 128, 256, 512, 1024),
             "Cnn6": (64, 128, 256, 512),
         }[self.arch]
 
     @property
     def embed_dim(self) -> int:
-        return {"Cnn14": 2048, "Cnn10": 512, "Cnn6": 512}[self.arch]
+        return {"Cnn14": 2048, "Cnn10": 1024, "Cnn6": 512}[self.arch]
 
     @nn.compact
     def __call__(self, wav: Optional[jnp.ndarray] = None, *,

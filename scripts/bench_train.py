@@ -181,12 +181,21 @@ def main():
         }))
     else:
         xla_s = f", xla {xla_flops / 1e12:.2f} TF/step" if xla_flops else ""
+        chunks_s = "/".join(f"{t * 1e3:.1f}" for t in chunk_times)
         print(
             f"{args.stage}[{args.model}]: {dt * 1e3:.1f} ms/step  "
             f"{tokens_per_step / dt:,.0f} tok/s  MFU {mfu * 100:.1f}%  "
             f"(model {model_flops / 1e12:.2f} TF/step{xla_s}, peak {peak / 1e12:.0f} TF/s, "
-            f"{cfg_s}, loss {loss:.3f})"
+            f"{cfg_s}, loss {loss:.3f}, chunks {chunks_s} ms)"
         )
+        if max(chunk_times) > 1.3 * min(chunk_times):
+            # the contamination diagnostic must be visible outside --json too
+            print(
+                f"WARNING: chunk spread {max(chunk_times) / min(chunk_times):.2f}x "
+                "(>1.3x) — tunnel interference episode likely contaminated this "
+                "lane; re-run or trust only the min",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

@@ -15,6 +15,19 @@ approximation of the fp decode path. This script replaces PARITY.md's
   3. end-to-end waveform SNR between the fp pipeline and the serving
      pipeline for the same per-row seeds.
 
+Round 4 additions (VERDICT r3 next #4):
+
+  4. KNOB ATTRIBUTION: the stack is A/B'd one knob at a time (int8 weights
+     only / flash-KV bf16 only / flash-KV int8 only / approx-topk only /
+     full stack), each scored teacher-forced along the same fp trajectory,
+     so the biggest offender is identified instead of one lumped number;
+  5. MARGIN SWEEP: random-init weights have near-zero logit gaps, so the
+     raw rates are a worst case.  ``--margin_scales`` re-scores the full
+     stack with logits multiplied by s (implemented exactly as
+     temperature/s on BOTH paths — gumbel sampling draws from
+     softmax(s*logits/temp)), emulating the sharper margins of a trained
+     model.  Mismatch at s=4/16 bounds the deployment-relevant rate.
+
 Weights are random-init (no pretrained checkpoints in this environment), so
 the logit-gap distribution differs from a trained model; the per-step
 agreement still measures exactly the serving kernels' numeric perturbation.
@@ -37,6 +50,15 @@ def main():
     ap.add_argument("--model", default="musiclm_small")
     ap.add_argument("--json", default=None, help="also write the report here")
     ap.add_argument("--approx_topk", type=int, default=1)
+    ap.add_argument(
+        "--knobs", type=int, default=1,
+        help="also A/B each serving knob separately (attribution table)",
+    )
+    ap.add_argument(
+        "--margin_scales", default="4,16",
+        help="comma list of logit-margin scales for the trained-confidence "
+        "emulation sweep ('' disables)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -124,26 +146,39 @@ def main():
     }
 
     row_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    conds = {}
     for name, (cond_shapes, T, temp) in geo.items():
-        cond = [
+        conds[name] = [
             jax.random.randint(jax.random.fold_in(k, 40 + i), (B,) + s, 0, 1024)
             for i, s in enumerate(cond_shapes)
         ]
-        kw = dict(max_time_steps=T, per_row_keys=row_keys, temperature=temp)
-        ref = np.asarray(
-            fp_stages[name].generate(cond, None, approx_topk=False, **kw)
-        )
-        # per-step agreement under identical prefixes (teacher-forced)
+
+    def teacher_forced_mismatch(name, stage, stage_approx, ref, temp):
+        """Per-step mismatch of `stage` scored along the fp trajectory."""
+        _, T, _ = geo[name]
         scored = np.asarray(
-            srv_stages[name].generate(
-                cond, None, approx_topk=approx,
-                teacher_forced_ids=jnp.asarray(ref), **kw,
+            stage.generate(
+                conds[name], None, approx_topk=stage_approx,
+                teacher_forced_ids=jnp.asarray(ref),
+                max_time_steps=T, per_row_keys=row_keys, temperature=temp,
             )
         )
-        step_mismatch = float(np.mean(scored != ref))
+        return float(np.mean(scored != ref))
+
+    fp_refs = {}
+    for name, (cond_shapes, T, temp) in geo.items():
+        kw = dict(max_time_steps=T, per_row_keys=row_keys, temperature=temp)
+        ref = np.asarray(
+            fp_stages[name].generate(conds[name], None, approx_topk=False, **kw)
+        )
+        fp_refs[name] = ref
+        # per-step agreement under identical prefixes (teacher-forced)
+        step_mismatch = teacher_forced_mismatch(
+            name, srv_stages[name], approx, ref, temp
+        )
         # free-running: deployment-visible divergence
         free = np.asarray(
-            srv_stages[name].generate(cond, None, approx_topk=approx, **kw)
+            srv_stages[name].generate(conds[name], None, approx_topk=approx, **kw)
         )
         rows_equal = float(np.mean(np.all(free.reshape(B, -1) == ref.reshape(B, -1), axis=1)))
         flat_ref = ref.reshape(B, -1)
@@ -162,6 +197,58 @@ def main():
             "total_flat_steps": int(flat_ref.shape[1]),
         }
         print(f"{name}: {json.dumps(report['stages'][name])}", flush=True)
+
+    # ---- knob attribution: one serving knob at a time (VERDICT r3 #4a) ----
+    if args.knobs:
+        variants = {
+            "int8_weights_only": (dict(quantized=True, flash_kv=None), False),
+            "flash_kv_bf16_only": (dict(quantized=False, flash_kv="bf16"), False),
+            "flash_kv_int8_only": (dict(quantized=False, flash_kv="int8"), False),
+            "approx_topk_only": (dict(), True),
+            "full_stack": (dict(quantized=True, flash_kv="int8"), approx),
+        }
+        report["knob_attribution"] = {}
+        for vname, (repl, v_approx) in variants.items():
+            row = {}
+            for name, (_, T, temp) in geo.items():
+                st = dataclasses.replace(fp_stages[name], **repl)
+                row[name] = round(
+                    100 * teacher_forced_mismatch(
+                        name, st, v_approx, fp_refs[name], temp
+                    ),
+                    3,
+                )
+            report["knob_attribution"][vname] = row
+            print(f"knob {vname}: {json.dumps(row)}", flush=True)
+
+    # ---- margin sweep: emulate trained-model logit confidence (#4b) ----
+    # scaling logits by s == dividing temperature by s on BOTH paths: the
+    # sampled distribution becomes softmax(s*logits/temp), so mismatch at
+    # s>1 shows how much of the raw rate is the random-init near-zero
+    # logit-gap worst case
+    scales = [float(s) for s in args.margin_scales.split(",") if s]
+    if scales:
+        report["margin_sweep_full_stack"] = {}
+        for s in scales:
+            row = {}
+            for name, (_, T, temp) in geo.items():
+                t_eff = temp / s
+                kw = dict(
+                    max_time_steps=T, per_row_keys=row_keys, temperature=t_eff
+                )
+                ref_s = np.asarray(
+                    fp_stages[name].generate(
+                        conds[name], None, approx_topk=False, **kw
+                    )
+                )
+                row[name] = round(
+                    100 * teacher_forced_mismatch(
+                        name, srv_stages[name], approx, ref_s, t_eff
+                    ),
+                    3,
+                )
+            report["margin_sweep_full_stack"][f"x{s:g}"] = row
+            print(f"margin x{s:g}: {json.dumps(row)}", flush=True)
 
     # ---- end-to-end waveform SNR (same seeds, fp vs serving pipeline) ----
     codec = create_encodec_24khz(

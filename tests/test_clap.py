@@ -27,32 +27,7 @@ from open_musiclm_tpu.models.clap.roberta import RobertaConfig, RobertaModel
 from open_musiclm_tpu.models.clap.tokenizer import ByteLevelBPE, RobertaTokenizer
 from open_musiclm_tpu.models.rvq import rvq_init
 
-TINY_AUDIO = HTSATConfig(
-    spec_size=32,
-    patch_size=4,
-    patch_stride=(4, 4),
-    embed_dim=16,
-    depths=(1, 1),
-    num_heads=(2, 4),
-    window_size=4,
-    num_classes=10,
-    mel_bins=8,
-    sample_rate=8000,
-    window_size_fft=64,
-    hop_size=40,
-    fmin=50.0,
-    fmax=3500.0,
-    clip_samples=5080,
-)
-
-TINY_TEXT = RobertaConfig(
-    vocab_size=64,
-    hidden_size=32,
-    num_hidden_layers=2,
-    num_attention_heads=2,
-    intermediate_size=64,
-    max_position_embeddings=32,
-)
+from open_musiclm_tpu.testing import TINY_AUDIO, TINY_TEXT  # noqa: E402
 
 
 def test_mel_filterbank_matches_librosa_formula():

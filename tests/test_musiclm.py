@@ -8,99 +8,19 @@ import numpy as np
 import pytest
 
 from open_musiclm_tpu.core.sequence import TokenSequenceSpec
-from open_musiclm_tpu.models.clap.clap import CLAP, ClapQuantized
-from open_musiclm_tpu.models.encodec import EncodecModel
-from open_musiclm_tpu.models.musiclm import MusicLM, unfold_windows
-from open_musiclm_tpu.models.stages import (
-    Stage,
-    create_coarse_transformer,
-    create_fine_transformer,
-    create_semantic_transformer,
+from open_musiclm_tpu.models.musiclm import unfold_windows
+from open_musiclm_tpu.testing import (
+    CB,
+    N_CLAP_Q,
+    FakeTokenizer,
+    make_tiny_stage as make_stage,
+    tiny_musiclm as build_tiny_musiclm,
 )
-from open_musiclm_tpu.models.rvq import rvq_init
-from open_musiclm_tpu.models.token_cond import StageLossConfig
-from tests.test_clap import TINY_AUDIO, TINY_TEXT
-
-CB = 16
-N_CLAP_Q = 4
-
-
-class FakeTokenizer:
-    def __call__(self, texts, max_length=8):
-        n = len(texts)
-        return {
-            "input_ids": np.zeros((n, 8), np.int32),
-            "attention_mask": np.ones((n, 8), np.int32),
-        }
-
-
-def make_stage(factory, key, **kw):
-    model = factory(
-        dim=32,
-        depth=1,
-        heads=2,
-        dim_head=8,
-        clap_codebook_size=CB,
-        num_clap_quantizers=N_CLAP_Q,
-        **kw,
-    )
-    lens = [4 * s.num_quantizers for s in model.specs]
-    ids = [jnp.zeros((1, n), jnp.int32) for n in lens]
-    params = model.init(key, ids)
-    weights = tuple(0.0 for _ in model.specs[:-1]) + (1.0,)
-    return Stage(model, params, StageLossConfig(cross_entropy_loss_weights=weights))
 
 
 @pytest.fixture(scope="module")
 def tiny_musiclm():
-    k = jax.random.PRNGKey(0)
-    clap_model = CLAP(audio_cfg=TINY_AUDIO, text_cfg=TINY_TEXT, joint_embed_shape=16)
-    ids = jnp.zeros((1, 8), jnp.int32)
-    clap_params = clap_model.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, TINY_AUDIO.clip_samples)), ids, jnp.ones_like(ids)
-    )
-    clap = ClapQuantized(
-        model=clap_model,
-        params=clap_params,
-        rvq=rvq_init(N_CLAP_Q, CB, 16, jax.random.PRNGKey(2)),
-        num_quantizers=N_CLAP_Q,
-        codebook_size=CB,
-        sample_rate=TINY_AUDIO.sample_rate,
-        clip_samples=TINY_AUDIO.clip_samples,
-    )
-
-    codec = EncodecModel(
-        sample_rate=60, ratios=(2, 2), num_quantizers=4, codebook_size=CB,
-        dimension=8, n_filters=2,
-    )
-    codec_params = codec.init(jax.random.PRNGKey(3), jnp.zeros((1, 240)))
-
-    semantic = make_stage(
-        create_semantic_transformer, jax.random.PRNGKey(4), semantic_codebook_size=CB
-    )
-    coarse = make_stage(
-        create_coarse_transformer,
-        jax.random.PRNGKey(5),
-        semantic_codebook_size=CB,
-        acoustic_codebook_size=CB,
-        num_coarse_quantizers=2,
-    )
-    fine = make_stage(
-        create_fine_transformer,
-        jax.random.PRNGKey(6),
-        acoustic_codebook_size=CB,
-        num_coarse_quantizers=2,
-        num_fine_quantizers=2,
-    )
-    return MusicLM(
-        clap=clap,
-        codec=codec,
-        codec_params=codec_params,
-        semantic_stage=semantic,
-        coarse_stage=coarse,
-        fine_stage=fine,
-        tokenizer=FakeTokenizer(),
-    )
+    return build_tiny_musiclm()
 
 
 def test_unfold_windows():
@@ -110,14 +30,7 @@ def test_unfold_windows():
     np.testing.assert_array_equal(np.asarray(w[1, 0, :, 0]), np.arange(4, 13))
 
 
-GEN_KW = dict(
-    output_seconds=3,
-    semantic_window_seconds=2,
-    coarse_window_seconds=1,
-    fine_window_seconds=1,
-    semantic_steps_per_second=10,
-    acoustic_steps_per_second=15,
-)
+from open_musiclm_tpu.testing import TINY_GEN_KW as GEN_KW  # noqa: E402
 
 
 def test_text_to_music_end_to_end(tiny_musiclm):

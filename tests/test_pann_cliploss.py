@@ -11,7 +11,7 @@ from open_musiclm_tpu.models.clap.pann import PANN
 from open_musiclm_tpu.train.clip_loss import clip_loss, clip_loss_mlp
 
 
-@pytest.mark.parametrize("arch,embed", [("Cnn14", 2048), ("Cnn10", 512), ("Cnn6", 512)])
+@pytest.mark.parametrize("arch,embed", [("Cnn14", 2048), ("Cnn10", 1024), ("Cnn6", 512)])
 def test_pann_embedding_shapes(arch, embed):
     model = PANN(
         arch=arch, sample_rate=8000, window_size_fft=64, hop_size=40,
