@@ -35,9 +35,18 @@ from ..ops.relpos import make_bias
 def _dropout(u: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
     """Inverted dropout. nn.Dropout is a submodule and cannot be constructed
     inside a setup()-style __call__ (flax AssignSubModuleError); it holds no
-    params, so the functional form is equivalent."""
+    params, so the functional form is equivalent.
+
+    A/B knob (trace-time): OPEN_MUSICLM_DISABLE_DROPOUT=1 turns every
+    dropout into identity, isolating the threefry mask-generation cost in
+    bench_train --ab_env runs (the FF mask alone is ~50M draws per layer
+    per microbatch at the training geometries)."""
+    if os.environ.get("OPEN_MUSICLM_DISABLE_DROPOUT") == "1":
+        return u
+    from ..ops.fastrand import fast_bernoulli
+
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, u.shape)
+    mask = fast_bernoulli(rng, keep, u.shape)
     return jnp.where(mask, u / keep, 0.0).astype(u.dtype)
 
 

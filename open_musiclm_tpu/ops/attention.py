@@ -65,7 +65,9 @@ def shared_kv_attention(
 
     attn = jax.nn.softmax(sim, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        from .fastrand import fast_bernoulli
+
+        keep = fast_bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
 
     out = jnp.einsum("bhnm,bmd->bhnd", attn, v)

@@ -15,10 +15,35 @@ of rerunning the MLP.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+
+def toeplitz_from_table(table: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[2n-1, h] distance table -> [n, n, h] with out[i, j] = table[i-j+n-1].
+
+    Built from tile + reshape + slice ONLY — no gather. The naive
+    ``table[rel]`` with an [n, n] index matrix lowers to an n^2-row gather
+    whose BACKWARD is an n^2-element scatter-add into 2n-1 rows; XLA:TPU
+    scatters with colliding indices serialize badly, and this runs inside
+    every training forward. The reshape construction is element-identical
+    (tested vs the gather in test_transformer.py) and its backward is a
+    dense reshape+reduce.
+
+    Derivation: let rb = concat(reverse(table), zeros(1)) of length 2n.
+    tile(rb, n)[: n*(2n-1)].reshape(n, 2n-1)[i, m] = rb[(m - i) mod 2n];
+    choosing m = j + n - 1 gives rb[j + n - 1 - i] = table[i - j + n - 1]
+    for all |i - j| <= n - 1 (the index never wraps or hits the pad row).
+    """
+    h = table.shape[-1]
+    rb = jnp.concatenate(
+        [table[::-1], jnp.zeros((1, h), table.dtype)], axis=0
+    )  # [2n, h]
+    e = jnp.tile(rb, (n, 1))[: n * (2 * n - 1)].reshape(n, 2 * n - 1, h)
+    return e[:, n - 1 :, :]
 
 
 class ContinuousPositionBias(nn.Module):
@@ -46,10 +71,14 @@ class ContinuousPositionBias(nn.Module):
         """Full bias matrix [heads, n, n] for training/prefill."""
         dist = jnp.arange(-n + 1, n, dtype=self.dtype)[:, None]  # [2n-1, 1]
         table = self.mlp(dist)  # [2n-1, heads]
-        i = jnp.arange(n)[:, None]
-        j = jnp.arange(n)[None, :]
-        rel = i - j + (n - 1)  # in [0, 2n-2]
-        bias = table[rel]  # [n, n, heads]
+        if os.environ.get("OPEN_MUSICLM_RELPOS_GATHER") == "1":
+            # legacy gather path, kept for A/B measurement
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(n)[None, :]
+            rel = i - j + (n - 1)  # in [0, 2n-2]
+            bias = table[rel]  # [n, n, heads]
+        else:
+            bias = toeplitz_from_table(table, n)
         return jnp.transpose(bias, (2, 0, 1))
 
     def distance_table(self, max_len: int) -> jnp.ndarray:
@@ -99,12 +128,22 @@ class T5RelativePositionBias(nn.Module):
         return table[buckets]
 
     def __call__(self, n: int) -> jnp.ndarray:
-        i = jnp.arange(n)[:, None]
-        j = jnp.arange(n)[None, :]
+        # bucket ids depend only on the distance i - j, so embed the
+        # [2n-1] distance axis once and build the Toeplitz matrix from
+        # reshapes (see toeplitz_from_table — avoids the n^2 gather and
+        # its scatter-add backward into the embedding)
+        dist = jnp.arange(-n + 1, n)
         buckets = t5_relative_bucket(
-            i - j, causal=self.causal, num_buckets=self.num_buckets, max_distance=self.max_distance
+            dist, causal=self.causal, num_buckets=self.num_buckets,
+            max_distance=self.max_distance,
         )
-        bias = self._embed(buckets)  # [n, n, heads]
+        table = self._embed(buckets)  # [2n-1, heads]
+        if os.environ.get("OPEN_MUSICLM_RELPOS_GATHER") == "1":
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(n)[None, :]
+            bias = table[i - j + (n - 1)]
+        else:
+            bias = toeplitz_from_table(table, n)
         return jnp.transpose(bias, (2, 0, 1))
 
     def distance_table(self, max_len: int) -> jnp.ndarray:

@@ -42,6 +42,11 @@ def main():
     p.add_argument("--remat", type=int, default=0)
     p.add_argument("--pallas", type=int, default=None,
                    help="1/0 force fused Pallas training attention on/off")
+    p.add_argument("--ab_env", default=None,
+                   help="same-process interleaved A/B: time the step again "
+                   "with this env var set to 1 (traced into a second jit), "
+                   "alternating chunks — the only reliable comparison under "
+                   "the tunnel's interference episodes (BENCHMARKS.md)")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
     args = p.parse_args()
 
@@ -141,20 +146,62 @@ def main():
     except Exception:
         pass
 
+    # optional interleaved A/B: a second trainer traced with $ab_env=1 (env
+    # knobs are read at TRACE time, so each trainer owns one variant's jit)
+    variants = [("base", trainer, state)]
+    if args.ab_env:
+        # "NAME" means NAME=1; "NAME=v" sets an explicit value (e.g.
+        # OPEN_MUSICLM_PALLAS=0 to A/B the default-on Pallas attention off)
+        ab_name, _, ab_val = args.ab_env.partition("=")
+        os.environ[ab_name] = ab_val or "1"
+        args.ab_env = f"{ab_name}={ab_val or '1'}"
+        trainer_b = StageTrainer(
+            model=model,
+            loss_cfg=StageLossConfig((0.0,) * (len(model.specs) - 1) + (1.0,)),
+            lr=3e-4, wd=0.1, lr_warmup=10, max_grad_norm=0.5,
+            grad_accum_every=args.accum,
+            results_folder="/tmp/bench_train_b",
+            save_model_every=0, save_results_every=0,
+            stage_name=args.stage,
+            use_tensorboard=False,
+        )
+        state_b = trainer_b.init_state(params)
+        state_b, loss_b = trainer_b.train_step(state_b, batch, key)  # compile
+        float(loss_b)
+        variants.append((args.ab_env, trainer_b, state_b))
+
     # time CHUNKS of steps and take the fastest chunk: the tunneled chip has
     # multi-minute >2x interference episodes (BENCHMARKS.md hazards), so a
     # single averaged window can be silently contaminated — a wide chunk
-    # spread marks a contaminated lane
-    chunk_times = []
+    # spread marks a contaminated lane. With --ab_env the variants alternate
+    # within each chunk round so an episode hits both equally.
+    chunk_times_by: dict = {name: [] for name, _, _ in variants}
+    states = {name: st for name, _, st in variants}
     for c in range(max(1, args.chunks)):
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, loss = trainer.train_step(
-                state, batch, jax.random.fold_in(key, c * args.steps + i)
-            )
-        loss = float(loss)  # sync once; steps pipeline like the real loop
-        chunk_times.append((time.perf_counter() - t0) / args.steps)
+        for name, tr, _ in variants:
+            st = states[name]
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                st, loss = tr.train_step(
+                    st, batch, jax.random.fold_in(key, c * args.steps + i)
+                )
+            loss = float(loss)  # sync once; steps pipeline like the real loop
+            chunk_times_by[name].append((time.perf_counter() - t0) / args.steps)
+            states[name] = st
+    chunk_times = chunk_times_by["base"]
     dt = min(chunk_times)
+
+    ab = None
+    if args.ab_env:
+        dt_b = min(chunk_times_by[args.ab_env])
+        ab = {
+            "env": args.ab_env,
+            "ms_per_step_env1": round(dt_b * 1e3, 1),
+            "ms_per_step_env1_all_chunks": [
+                round(t * 1e3, 1) for t in chunk_times_by[args.ab_env]
+            ],
+            "env1_over_base": round(dt_b / dt, 3),
+        }
 
     model_flops = stage_train_flops(model, lens, b, args.accum)
     peak = peak_flops_per_chip(jax.devices()[0].device_kind, "bf16" if args.bf16 else "f32")
@@ -178,6 +225,7 @@ def main():
             "peak_tflops": peak / 1e12,
             "batch": b, "accum": args.accum, "remat": args.remat,
             "depth": model.depth, "loss": round(loss, 3),
+            **({"ab": ab} if ab else {}),
         }))
     else:
         xla_s = f", xla {xla_flops / 1e12:.2f} TF/step" if xla_flops else ""
@@ -188,6 +236,13 @@ def main():
             f"(model {model_flops / 1e12:.2f} TF/step{xla_s}, peak {peak / 1e12:.0f} TF/s, "
             f"{cfg_s}, loss {loss:.3f}, chunks {chunks_s} ms)"
         )
+        if ab:
+            print(
+                f"  A/B {ab['env']}: {ab['ms_per_step_env1']} ms/step "
+                f"({ab['env1_over_base']}x base; chunks "
+                + "/".join(f"{t}" for t in ab["ms_per_step_env1_all_chunks"])
+                + " ms)"
+            )
         if max(chunk_times) > 1.3 * min(chunk_times):
             # the contamination diagnostic must be visible outside --json too
             print(

@@ -120,3 +120,31 @@ def test_top_k_filter_approx_widens_only(monkeypatch):
     monkeypatch.setenv("OPEN_MUSICLM_APPROX_TOPK", "1")
     env = np.asarray(top_k_filter(logits, 0.9))
     assert ((env > -1e8) == approx_kept).all()
+
+
+def test_fast_bernoulli_cpu_fallback_and_bit_path():
+    """fast_bernoulli (ops/fastrand.py): on CPU it IS jax.random.bernoulli
+    (goldens unchanged); the TPU rng_bit_generator path draws at the right
+    rate and is deterministic in the key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_musiclm_tpu.ops.fastrand import _key_words, fast_bernoulli
+
+    rng = jax.random.PRNGKey(0)
+    m1 = np.asarray(fast_bernoulli(rng, 0.9, (1000,)))
+    m2 = np.asarray(jax.random.bernoulli(rng, 0.9, (1000,)))
+    np.testing.assert_array_equal(m1, m2)
+
+    # exercise the fast branch's machinery directly (backend-agnostic op)
+    thresh = jnp.uint32(round(0.9 * 2**32))
+    _, bits = jax.lax.rng_bit_generator(_key_words(rng), (200000,), dtype=jnp.uint32)
+    rate = float(jnp.mean((bits < thresh).astype(jnp.float32)))
+    assert abs(rate - 0.9) < 0.01
+    _, bits_b = jax.lax.rng_bit_generator(_key_words(rng), (200000,), dtype=jnp.uint32)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits_b))
+    _, bits_c = jax.lax.rng_bit_generator(
+        _key_words(jax.random.PRNGKey(1)), (200000,), dtype=jnp.uint32
+    )
+    assert not np.array_equal(np.asarray(bits), np.asarray(bits_c))

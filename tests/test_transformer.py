@@ -169,3 +169,38 @@ def test_remat_preserves_values_and_grads():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_toeplitz_matches_gather_values_and_grads():
+    """The reshape-based Toeplitz bias construction must be element- and
+    gradient-identical to the legacy n^2-gather path (ops/relpos.py)."""
+    import os
+
+    from open_musiclm_tpu.ops.relpos import toeplitz_from_table
+
+    n, h = 9, 4
+    table = jax.random.normal(jax.random.PRNGKey(0), (2 * n - 1, h))
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    gathered = table[i - j + (n - 1)]
+    built = toeplitz_from_table(table, n)
+    np.testing.assert_array_equal(np.asarray(gathered), np.asarray(built))
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (n, n, h))
+    g_gather = jax.grad(lambda t: jnp.sum(w * t[i - j + (n - 1)]))(table)
+    g_built = jax.grad(lambda t: jnp.sum(w * toeplitz_from_table(t, n)))(table)
+    np.testing.assert_allclose(np.asarray(g_gather), np.asarray(g_built), atol=1e-5)
+
+    # the module-level A/B switch produces identical biases too
+    for mod in [
+        ContinuousPositionBias(dim=16, heads=4),
+        T5RelativePositionBias(heads=4),
+    ]:
+        params = mod.init(jax.random.PRNGKey(2), 8)
+        fast = mod.apply(params, 8)
+        os.environ["OPEN_MUSICLM_RELPOS_GATHER"] = "1"
+        try:
+            legacy = mod.apply(params, 8)
+        finally:
+            del os.environ["OPEN_MUSICLM_RELPOS_GATHER"]
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(legacy), atol=1e-6)
