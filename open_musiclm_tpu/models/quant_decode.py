@@ -330,6 +330,7 @@ def generate_quantized(
     flash_kv: Optional[str] = None,  # None | "bf16" | "int8" | "fused"
     approx_topk: Optional[bool] = None,
     teacher_ids: Optional[jnp.ndarray] = None,  # see token_cond.generate
+    return_logits: bool = False,  # see token_cond.generate
 ) -> jnp.ndarray:
     """int8-decode twin of token_cond.generate: fp prefill (one pass), int8
     scan decode. ``use_pallas=None`` auto-selects (kernel off on CPU, which
@@ -348,6 +349,44 @@ def generate_quantized(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     matmul = int8_matmul if use_pallas else int8_matmul_xla
+
+    # Mosaic DMA slices of the flash cache's per-row arrays must align to
+    # the f32 sublane tiling: a batch like 3 (one prompt x 3 batched fine
+    # windows, musiclm_large latency lane) fails to compile. Pad the decode
+    # rows up to a multiple of 8 (row 0 replicated), run the padded decode,
+    # slice the real rows back out. per_row_keys rows are row-local, so
+    # their tokens are exactly what the unpadded decode would sample; the
+    # shared-rng path draws its gumbel noise at the padded shape (threefry
+    # zips the two halves of the flat counter range, so the stream depends
+    # on total length) — real rows get a different-but-equally-valid sample
+    # stream. Kernel path only — CPU (tests/goldens) uses the XLA twins and
+    # is untouched.
+    if flash_kv and use_pallas and batch % 8 != 0:
+        bp = -(-batch // 8) * 8
+
+        def _pad_rows(a):
+            if a is None:
+                return None
+            reps = jnp.broadcast_to(a[:1], (bp - batch,) + a.shape[1:])
+            return jnp.concatenate([a, reps], axis=0)
+
+        out = generate_quantized(
+            model, params, qparams,
+            [_pad_rows(t) for t in conditioning_token_ids], rng,
+            max_time_steps=max_time_steps,
+            init_pred_ids=_pad_rows(init_pred_ids),
+            filter_thres=filter_thres, temperature=temperature,
+            allow_eos_in_output=allow_eos_in_output,
+            include_eos_in_output=include_eos_in_output,
+            append_eos_to_conditioning_tokens=append_eos_to_conditioning_tokens,
+            use_pallas=use_pallas, fused_ff=fused_ff,
+            per_row_keys=_pad_rows(per_row_keys), flash_kv=flash_kv,
+            approx_topk=approx_topk, teacher_ids=_pad_rows(teacher_ids),
+            return_logits=return_logits,
+        )
+        if return_logits:
+            return out[0][:batch], out[1][:batch]
+        return out[:batch]
 
     cond = [jnp.reshape(t, (t.shape[0], -1)) for t in conditioning_token_ids]
     if append_eos_to_conditioning_tokens:
@@ -443,12 +482,16 @@ def generate_quantized(
                 model, params, qparams, emb, cache, pos, table, matmul=matmul,
                 fused_ff=fused_ff,
             )
-        return (cache, h_last, sampled, rng), None
+        out = logits.astype(jnp.float32) if return_logits else None
+        return (cache, h_last, sampled, rng), out
 
-    (cache, h_last, sampled, rng), _ = jax.lax.scan(
+    (cache, h_last, sampled, rng), step_logits = jax.lax.scan(
         step, (cache, h_last, sampled, rng_carry), jnp.arange(n_new)
     )
     sampled = mask_out_after_eos_id(
         sampled, eos_id, mask_value=PAD_ID, keep_eos=include_eos_in_output
     )
-    return sampled.reshape(batch, max_time_steps, q_num)
+    sampled = sampled.reshape(batch, max_time_steps, q_num)
+    if return_logits:
+        return sampled, jnp.swapaxes(step_logits, 0, 1)  # [b, n_new, C]
+    return sampled

@@ -108,6 +108,7 @@ def _jitted_generate(
     mesh=None,
     approx_topk: bool = False,
     has_teacher: bool = False,
+    return_logits: bool = False,
 ):
     def fn(params, cond_ids, init_pred, key, teacher):
         return generate(
@@ -124,6 +125,7 @@ def _jitted_generate(
             per_row_keys=key if per_row else None,
             approx_topk=approx_topk,
             teacher_ids=teacher if has_teacher else None,
+            return_logits=return_logits,
         )
 
     if mesh is not None:
@@ -145,6 +147,7 @@ def _jitted_generate_quantized(
     mesh=None,
     approx_topk: bool = False,
     has_teacher: bool = False,
+    return_logits: bool = False,
 ):
     def fn(params, qparams, cond_ids, init_pred, key, teacher):
         from .quant_decode import generate_quantized
@@ -165,6 +168,7 @@ def _jitted_generate_quantized(
             flash_kv=flash_kv,
             approx_topk=approx_topk,
             teacher_ids=teacher if has_teacher else None,
+            return_logits=return_logits,
         )
 
     if mesh is not None:
@@ -218,6 +222,7 @@ class Stage:
         mesh=None,
         approx_topk: Optional[bool] = None,
         teacher_forced_ids: Optional[jnp.ndarray] = None,
+        return_logits: bool = False,
     ) -> jnp.ndarray:
         """``per_row_keys``: optional [b] keys for batch-composition-
         independent sampling (serving); ``key`` is ignored when given.
@@ -251,6 +256,16 @@ class Stage:
                 )
             assert cond[0].shape[0] % mesh.shape["dp"] == 0
         key_arg = per_row_keys if per_row else key
+        if self.flash_kv and not self.quantized:
+            # the flash-KV cache lives in the quantized decode scan
+            # (models/quant_decode.py); silently ignoring it here made a
+            # round-4 measurement lane score the PURE FP PATH as
+            # "flash-kv-only deviation: 0%" (.lanes/deviation.out)
+            raise ValueError(
+                f"flash_kv={self.flash_kv!r} requires quantized=True: the "
+                "flash decode kernel is part of the int8 serving scan and "
+                "would be silently ignored on the fp path"
+            )
         if self.quantized:
             fn = _jitted_generate_quantized(
                 self.model,
@@ -265,6 +280,7 @@ class Stage:
                 mesh,
                 bool(approx_topk),
                 has_teacher,
+                bool(return_logits),
             )
             return fn(self.params, self._get_qparams(), cond, init, key_arg, teacher)
         fn = _jitted_generate(
@@ -279,6 +295,7 @@ class Stage:
             mesh,
             bool(approx_topk),
             has_teacher,
+            bool(return_logits),
         )
         return fn(self.params, cond, init, key_arg, teacher)
 

@@ -335,6 +335,7 @@ def generate(
     per_row_keys: Optional[jnp.ndarray] = None,
     approx_topk: Optional[bool] = None,
     teacher_ids: Optional[jnp.ndarray] = None,
+    return_logits: bool = False,
 ) -> jnp.ndarray:
     """Sample the final sequence given conditioning sequences.
 
@@ -352,6 +353,10 @@ def generate(
     so every step is scored under the teacher's prefix. Used to measure
     per-step agreement between decode paths without AR divergence
     compounding (scripts/measure_serving_deviation.py).
+
+    return_logits: additionally return the per-step f32 logits
+    [b, n_new, C] — the raw numeric surface the serving kernels perturb
+    (logit-delta exceedance report in the deviation script).
     """
     specs = model.specs
     assert len(conditioning_token_ids) == len(specs) - 1
@@ -445,16 +450,20 @@ def generate(
         h_last, cache = model.apply(
             params, emb, cache, pos, table, method=_tfm_decode_step
         )
-        return (cache, h_last, sampled, rng), None
+        out = logits.astype(jnp.float32) if return_logits else None
+        return (cache, h_last, sampled, rng), out
 
-    (cache, h_last, sampled, rng), _ = jax.lax.scan(
+    (cache, h_last, sampled, rng), step_logits = jax.lax.scan(
         step, (cache, h_last, sampled, rng_carry), jnp.arange(n_new)
     )
 
     sampled = mask_out_after_eos_id(
         sampled, eos_id, mask_value=PAD_ID, keep_eos=include_eos_in_output
     )
-    return sampled.reshape(batch, max_time_steps, q_num)
+    sampled = sampled.reshape(batch, max_time_steps, q_num)
+    if return_logits:
+        return sampled, jnp.swapaxes(step_logits, 0, 1)  # [b, n_new, C]
+    return sampled
 
 
 # method trampolines: call the inner Transformer submodule through

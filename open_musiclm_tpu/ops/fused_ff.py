@@ -174,25 +174,60 @@ def fused_ff_apply(
     sv0, sg0 = split_pad(state[:, 0, :])
     sv1, sg1 = split_pad(state[:, 1, :])
 
+    # Row-block the grid: the kernel holds ~6 f32 [rows, P] intermediates in
+    # VMEM, so one monolithic launch blows the 16 MB scoped-VMEM limit past
+    # ~300 rows (hit at musiclm_large's 64 prompts x 20 batched fine windows
+    # = 1280 rows). Blocks of 64 rows keep the activation working set under
+    # ~5 MB while the int8 weights (constant index_map) stay resident across
+    # grid steps, so the weights are still streamed from HBM only once per
+    # launch.
+    BB = 64
+    if b <= BB:
+        bp, block_b, grid = b, b, 1
+    else:
+        bp = _round_up(b, BB)
+        block_b, grid = BB, bp // BB
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, bp - b), (0, 0))) if bp != b else a
+
+    x_p = pad_rows(x)
+    sv0, sg0, sv1, sg1 = map(pad_rows, (sv0, sg0, sv1, sg1))
+
+    def rows(width):  # per-grid-step row block
+        return pl.BlockSpec((block_b, width), lambda i: (i, 0))
+
+    def whole(shape):  # same block every step: stays resident in VMEM
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
     kernel = functools.partial(_kernel, inner=inner)
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     y, sv1o, sg1o = pl.pallas_call(
         kernel,
-        in_specs=[vm] * 15,
-        out_specs=(vm, vm, vm),
+        grid=(grid,),
+        in_specs=[
+            rows(dim),  # x
+            whole((1, dim)),  # gin
+            whole((dim, P)), whole((1, P)),  # wv, sv
+            whole((dim, P)), whole((1, P)),  # wg, sg
+            whole((4, P)), whole((4, P)),  # conv taps
+            rows(P), rows(P), rows(P), rows(P),  # conv states
+            whole((1, P)),  # gmid
+            whole((P, dim)), whole((1, dim)),  # wo, so
+        ],
+        out_specs=(rows(dim), rows(P), rows(P)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, dim), x.dtype),
-            jax.ShapeDtypeStruct((b, P), state.dtype),
-            jax.ShapeDtypeStruct((b, P), state.dtype),
+            jax.ShapeDtypeStruct((bp, dim), x.dtype),
+            jax.ShapeDtypeStruct((bp, P), state.dtype),
+            jax.ShapeDtypeStruct((bp, P), state.dtype),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * dim * P + 2 * b * P * dim,
-            bytes_accessed=2 * dim * P + P * dim + b * P * 4 * 6,
-            transcendentals=b * P,
+            flops=4 * bp * dim * P + 2 * bp * P * dim,
+            bytes_accessed=2 * dim * P + P * dim + bp * P * 4 * 6,
+            transcendentals=bp * P,
         ),
     )(
-        x,
+        x_p,
         packed["gin"][None, :],
         packed["wv"], packed["sv"][None, :],
         packed["wg"], packed["sg"][None, :],
@@ -201,6 +236,7 @@ def fused_ff_apply(
         packed["gmid"][None, :],
         packed["wo"], packed["so"][None, :],
     )
+    y, sv1o, sg1o = y[:b], sv1o[:b], sg1o[:b]
 
     u = jnp.concatenate([sv1o[:, :inner], sg1o[:, :inner]], axis=-1)
     new_state = jnp.stack([state[:, 1, :], u], axis=1)

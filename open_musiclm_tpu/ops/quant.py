@@ -62,24 +62,41 @@ def int8_matmul(
         scale = jnp.pad(scale, (0, pad))
     nblk = (OUT + pad) // blk
 
+    # Row-block large batches (musiclm_large batches its fine windows into
+    # one decode: 64 prompts x 20 windows = 1280 rows) so the f32 x/acc
+    # working set stays bounded. Rows are the INNER grid dim, so each weight
+    # column block is fetched once and row blocks stream past it — decode
+    # stays weight-read-bound. Small batches keep the original single-row-
+    # block schedule unchanged.
+    RB = 256
+    if B <= RB:
+        bp, rb, nrow = B, B, 1
+    else:
+        bp = ((B + RB - 1) // RB) * RB
+        rb, nrow = RB, ((B + RB - 1) // RB)
+        if bp != B:
+            x = jnp.pad(x, ((0, bp - B), (0, 0)))
+
     out = pl.pallas_call(
         _kernel,
-        grid=(nblk,),
+        grid=(nblk, nrow),
         in_specs=[
-            pl.BlockSpec((B, IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, IN), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN, blk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, OUT + pad), x.dtype),
+        out_specs=pl.BlockSpec(
+            (rb, blk), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, OUT + pad), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * IN * (OUT + pad),
-            bytes_accessed=B * IN * x.dtype.itemsize + IN * (OUT + pad) + B * (OUT + pad) * x.dtype.itemsize,
+            flops=2 * bp * IN * (OUT + pad),
+            bytes_accessed=bp * IN * x.dtype.itemsize + IN * (OUT + pad) + bp * (OUT + pad) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(x, w_q, scale[None, :])
-    return out[:, :OUT]
+    return out[:B, :OUT]
 
 
 def int8_matmul_xla(x, w_q, scale):

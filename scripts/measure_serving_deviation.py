@@ -200,11 +200,16 @@ def main():
 
     # ---- knob attribution: one serving knob at a time (VERDICT r3 #4a) ----
     if args.knobs:
+        # LADDER attribution: flash_kv is implemented inside the quantized
+        # decode scan (Stage.generate raises on flash_kv without
+        # quantized=True), so each flash knob is measured stacked on the
+        # int8-weights base — the per-knob contribution is the DELTA from
+        # the previous rung. approx-topk alone runs on the fp path.
         variants = {
             "int8_weights_only": (dict(quantized=True, flash_kv=None), False),
-            "flash_kv_bf16_only": (dict(quantized=False, flash_kv="bf16"), False),
-            "flash_kv_int8_only": (dict(quantized=False, flash_kv="int8"), False),
-            "approx_topk_only": (dict(), True),
+            "int8_w_plus_flash_bf16": (dict(quantized=True, flash_kv="bf16"), False),
+            "int8_w_plus_flash_int8": (dict(quantized=True, flash_kv="int8"), False),
+            "approx_topk_only_fp": (dict(), True),
             "full_stack": (dict(quantized=True, flash_kv="int8"), approx),
         }
         report["knob_attribution"] = {}
@@ -220,6 +225,61 @@ def main():
                 )
             report["knob_attribution"][vname] = row
             print(f"knob {vname}: {json.dumps(row)}", flush=True)
+
+    # ---- logit-perturbation exceedance: the deployment-relevant metric ----
+    # Temperature/margin scaling CANNOT emulate trained confidence: the
+    # serving kernels' logit delta scales with the logits themselves, so the
+    # flip ratio P(|delta_top2| > gap) is scale-invariant (the x4/x16 sweep
+    # below moves the rates by <1%, as predicted). What transfers to a
+    # trained checkpoint is the perturbation delta itself: a step flips
+    # when the top1-top2 perturbation differential exceeds the model's
+    # top-2 logit gap. We measure delta along the fp trajectory and report
+    # its exceedance curve — combine with any gap distribution to get the
+    # expected flip rate at trained margins.
+    report["logit_perturbation"] = {}
+    gap_grid = [0.01, 0.03, 0.1, 0.3, 1.0, 3.0]
+    for name, (_, T, temp) in geo.items():
+        kw = dict(max_time_steps=T, per_row_keys=row_keys, temperature=temp)
+        ref = jnp.asarray(fp_refs[name])
+        _, L_fp = fp_stages[name].generate(
+            conds[name], None, approx_topk=False, teacher_forced_ids=ref,
+            return_logits=True, **kw,
+        )
+        _, L_srv = srv_stages[name].generate(
+            conds[name], None, approx_topk=approx, teacher_forced_ids=ref,
+            return_logits=True, **kw,
+        )
+        Lf = np.asarray(L_fp, np.float32)
+        Ls = np.asarray(L_srv, np.float32)
+        valid = (Lf > -1e8) & (Ls > -1e8)  # drop the masked-EOS lane
+        d = np.where(valid, Ls - Lf, 0.0)
+        order = np.argsort(Lf, axis=-1)
+        t1, t2 = order[..., -1:], order[..., -2:-1]
+        take = np.take_along_axis
+        d_eff = take(d, t1, -1)[..., 0] - take(d, t2, -1)[..., 0]
+        gap_fp = take(Lf, t1, -1)[..., 0] - take(Lf, t2, -1)[..., 0]
+        report["logit_perturbation"][name] = {
+            "delta_rms": round(float(np.sqrt(np.mean(d[valid] ** 2))), 4),
+            "delta_top2_abs_p50": round(float(np.median(np.abs(d_eff))), 4),
+            "delta_top2_abs_p90": round(float(np.quantile(np.abs(d_eff), 0.9)), 4),
+            "fp_top2_gap_p50_random_init": round(float(np.median(gap_fp)), 4),
+            "exceedance_pct": {
+                f">{g:g}": round(100 * float(np.mean(np.abs(d_eff) > g)), 3)
+                for g in gap_grid
+            },
+            "note": (
+                "expected argmax flip rate at trained margins = "
+                "P(|delta_top2| > gap) under the checkpoint's top-2 gap "
+                "distribution; random-init gaps (p50 above) sit at the "
+                "same scale as delta, which is why raw rates look large"
+            ),
+        }
+        print(
+            f"logit_perturbation {name}: "
+            f"{json.dumps(report['logit_perturbation'][name]['exceedance_pct'])} "
+            f"(delta_rms {report['logit_perturbation'][name]['delta_rms']})",
+            flush=True,
+        )
 
     # ---- margin sweep: emulate trained-model logit confidence (#4b) ----
     # scaling logits by s == dividing temperature by s on BOTH paths: the

@@ -276,3 +276,96 @@ def test_generate_fused_layer_matches_flash_int8():
     assert fused.shape == base.shape
     assert fused.min() >= 0 and fused.max() < CB
     assert (fused == base).mean() > 0.5
+
+
+def test_int8_matmul_row_blocked_matches_xla():
+    """B > 256 triggers the row-blocked grid (rows innermost so each weight
+    column block is fetched once); 600 is not a block multiple, covering the
+    pad+slice path."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (600, 64))
+    w = jax.random.normal(jax.random.PRNGKey(8), (64, 200))
+    q, s = quantize_weight(w)
+    expected = np.asarray(int8_matmul_xla(x, q, s))
+    got = np.asarray(int8_matmul(x, q, s, block_out=128, interpret=True))
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_fused_ff_kernel_row_blocked_matches_xla():
+    """The fused conv-FF kernel row-blocks past 64 rows (musiclm_large
+    batches 64 prompts x 20 fine windows = 1280 rows, which blew the 16 MB
+    scoped-VMEM limit as one block). 130 rows covers grid + pad + slice."""
+    from open_musiclm_tpu.ops.fused_ff import (
+        fused_ff_apply,
+        fused_ff_apply_xla,
+        pack_ff_weights,
+    )
+
+    dim, inner, b = 64, 100, 130
+    k = jax.random.PRNGKey(9)
+    f_params = {
+        "norm_in": {"gamma": jax.random.normal(jax.random.fold_in(k, 0), (dim,))},
+        "proj_in": {
+            "kernel": jax.random.normal(jax.random.fold_in(k, 1), (dim, 2 * inner))
+            / 8.0
+        },
+        "conv_w": jax.random.normal(jax.random.fold_in(k, 2), (3, 2 * inner)) / 8.0,
+        "norm_mid": {"gamma": jax.random.normal(jax.random.fold_in(k, 3), (inner,))},
+        "proj_out": {
+            "kernel": jax.random.normal(jax.random.fold_in(k, 4), (inner, dim)) / 8.0
+        },
+    }
+    packed = pack_ff_weights(f_params)
+    x = jax.random.normal(jax.random.fold_in(k, 5), (b, dim))
+    state = jax.random.normal(jax.random.fold_in(k, 6), (b, 2, 2 * inner)) / 4.0
+    y_ref, st_ref = fused_ff_apply_xla(x, packed, state)
+    y, st = fused_ff_apply(x, packed, state, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref), atol=2e-4, rtol=1e-3)
+
+
+def test_stage_flash_kv_without_quantized_raises():
+    """flash_kv without quantized=True used to be silently ignored (the fp
+    path ran instead) — a round-4 deviation lane scored it as 0% deviation.
+    Now it raises loudly."""
+    from open_musiclm_tpu.models.stages import Stage
+    from open_musiclm_tpu.models.token_cond import StageLossConfig
+
+    model = make_model()
+    ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    stage = Stage(
+        model, params, StageLossConfig(cross_entropy_loss_weights=(0.0, 1.0)),
+        quantized=False, flash_kv="int8",
+    )
+    cond = [jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, CB)]
+    with pytest.raises(ValueError, match="flash_kv"):
+        stage.generate(cond, jax.random.PRNGKey(2), max_time_steps=3)
+
+
+def test_generate_return_logits_consistency():
+    """return_logits returns the per-step f32 logits; same-path teacher-
+    forced runs (fp vs fp, quant vs quant) must reproduce their own logits
+    exactly, and tokens must equal the no-logits call."""
+    from open_musiclm_tpu.models.stages import Stage
+    from open_musiclm_tpu.models.token_cond import StageLossConfig
+
+    model = make_model()
+    ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
+    params = model.init(jax.random.PRNGKey(0), ids)
+    cond = [jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, CB)]
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2))
+    for repl in (dict(flash_kv=None), dict(quantized=True, flash_kv="int8")):
+        stage = Stage(
+            model, params, StageLossConfig(cross_entropy_loss_weights=(0.0, 1.0)),
+            **repl,
+        )
+        kw = dict(max_time_steps=4, per_row_keys=keys, temperature=0.7)
+        toks = stage.generate(cond, None, **kw)
+        toks2, logits = stage.generate(cond, None, return_logits=True, **kw)
+        assert logits.shape == (2, 8, CB + 1) and logits.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+        # teacher-forced along its own trajectory: identical logits
+        _, logits_tf = stage.generate(
+            cond, None, return_logits=True, teacher_forced_ids=toks, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits_tf))
