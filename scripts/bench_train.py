@@ -87,6 +87,12 @@ def main():
             params,
         )
 
+    # snapshot NOW: trainer A's first train_step donates its state, which
+    # shares buffers with `params` — after it, `params` is deleted
+    params_ab = (
+        jax.tree_util.tree_map(jnp.array, params) if args.ab_env else None
+    )
+
     trainer = StageTrainer(
         model=model,
         loss_cfg=StageLossConfig((0.0,) * (len(model.specs) - 1) + (1.0,)),
@@ -165,7 +171,7 @@ def main():
             stage_name=args.stage,
             use_tensorboard=False,
         )
-        state_b = trainer_b.init_state(params)
+        state_b = trainer_b.init_state(params_ab)
         state_b, loss_b = trainer_b.train_step(state_b, batch, key)  # compile
         float(loss_b)
         variants.append((args.ab_env, trainer_b, state_b))
