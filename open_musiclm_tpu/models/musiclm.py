@@ -19,6 +19,7 @@ across windows, prompts and batch items.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -358,30 +359,47 @@ class MusicLM:
             # reference's sequential loop (open_musiclm.py:1002-1023) —
             # sequential decode steps drop from n_windows*T*Q to T*Q.
             b = clap_token_ids.shape[0]
-            clap_rep = jnp.tile(
-                clap_fine.reshape(b, -1), (n_windows, 1)
-            )
-            coarse_flat = _put(
-                jnp.concatenate([coarse_win(w) for w in range(n_windows)], axis=0),
-                dev_fine,
-            )  # [n_windows*b, fine_window, q]
-            if per_row_keys is not None:
-                kf, rkf = None, jnp.concatenate(
-                    [fold_in_rows(per_row_keys, 2, w) for w in range(n_windows)]
-                )
-            else:
-                kf, rkf = keys[2], None
-            pred = self.fine_stage.generate(
-                [clap_rep, coarse_flat],
-                kf,
-                max_time_steps=fine_window,
-                temperature=fine_temperature,
-                filter_thres=fine_filter_thres,
-                per_row_keys=rkf,
-                mesh=self.serving_mesh,
-            )  # [n_windows*b, T, q]
-            q = pred.shape[-1]
-            pred = pred.reshape(n_windows, b, fine_window, q)
+            # cap rows per batched decode: the fine PREFILL materializes
+            # [rows, seq, 2*ffi] FF temps, and an uncapped 32-prompt x
+            # 20-window long-form call (640 rows x 692 x 5460 bf16 = two
+            # 4.5 GB temps + a 2.6 GB KV cache at 24 layers) exceeds v5e
+            # HBM. Windows are independent given coarse+clap, so chunking
+            # is value-identical for per-row keys; chunk 0 keeps the
+            # legacy shared-key stream (goldens), later chunks fold the
+            # chunk index in.
+            rows_cap = int(os.environ.get("OPEN_MUSICLM_MAX_FINE_ROWS", "256"))
+            win_per_call = max(1, rows_cap // max(b, 1))
+            chunks = []
+            q = None
+            for g0 in range(0, n_windows, win_per_call):
+                g1 = min(g0 + win_per_call, n_windows)
+                nw = g1 - g0
+                clap_rep = jnp.tile(clap_fine.reshape(b, -1), (nw, 1))
+                coarse_flat = _put(
+                    jnp.concatenate(
+                        [coarse_win(w) for w in range(g0, g1)], axis=0
+                    ),
+                    dev_fine,
+                )  # [nw*b, fine_window, q]
+                if per_row_keys is not None:
+                    kf, rkf = None, jnp.concatenate(
+                        [fold_in_rows(per_row_keys, 2, w) for w in range(g0, g1)]
+                    )
+                else:
+                    kf = keys[2] if g0 == 0 else jax.random.fold_in(keys[2], g0)
+                    rkf = None
+                pred = self.fine_stage.generate(
+                    [clap_rep, coarse_flat],
+                    kf,
+                    max_time_steps=fine_window,
+                    temperature=fine_temperature,
+                    filter_thres=fine_filter_thres,
+                    per_row_keys=rkf,
+                    mesh=self.serving_mesh,
+                )  # [nw*b, T, q]
+                q = pred.shape[-1]
+                chunks.append(pred.reshape(nw, b, fine_window, q))
+            pred = jnp.concatenate(chunks, axis=0)  # [n_windows, b, T, q]
             fine = jnp.concatenate([pred[w] for w in range(n_windows)], axis=1)
         else:
             fine = None
