@@ -82,13 +82,26 @@ def main():
     # 130 -> 145x end-to-end at batch 32 (early exit at pos + int8 cache rows
     # halve the per-step cache traffic); "" disables, "bf16" = early exit only
     flash_kv = os.environ.get("BENCH_FLASH_KV", "int8" if quantized else "") or None
+
+    def stage_flash_kv(stage_name):
+        # per-stage override (e.g. BENCH_FLASH_KV_FINE=f32 keeps the fine
+        # stage's small 2 s cache at full precision where deviation is
+        # most temperature-sensitive — see PARITY.md serving defaults)
+        return os.environ.get(f"BENCH_FLASH_KV_{stage_name.upper()}", flash_kv) or None
+
     if quantized:
         # int8 fused-FF serving mode (Stage.quantized): measured 1.25x decode
         import dataclasses
 
-        semantic = dataclasses.replace(semantic, quantized=True, flash_kv=flash_kv)
-        coarse = dataclasses.replace(coarse, quantized=True, flash_kv=flash_kv)
-        fine = dataclasses.replace(fine, quantized=True, flash_kv=flash_kv)
+        semantic = dataclasses.replace(
+            semantic, quantized=True, flash_kv=stage_flash_kv("semantic")
+        )
+        coarse = dataclasses.replace(
+            coarse, quantized=True, flash_kv=stage_flash_kv("coarse")
+        )
+        fine = dataclasses.replace(
+            fine, quantized=True, flash_kv=stage_flash_kv("fine")
+        )
 
     if os.environ.get("BENCH_PARAM_DTYPE", "bf16") == "bf16":
         # decode is weight-bandwidth-bound: bf16 weights halve HBM traffic
@@ -310,7 +323,15 @@ def main():
                     "wall_seconds_all_reps": [round(t, 3) for t in times],
                     "device": str(jax.devices()[0]),
                     "int8_serving_mode": quantized,
-                    "flash_kv": flash_kv or "off",
+                    "flash_kv": (
+                        {
+                            n: stage_flash_kv(n) or "off"
+                            for n in ("semantic", "coarse", "fine")
+                        }
+                        if quantized
+                        and len({stage_flash_kv(n) for n in ("semantic", "coarse", "fine")}) > 1
+                        else (flash_kv or "off")
+                    ),
                     "approx_topk": os.environ.get("OPEN_MUSICLM_APPROX_TOPK") == "1",
                     **stage_rates,
                     **long_detail,

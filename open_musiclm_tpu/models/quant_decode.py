@@ -179,11 +179,20 @@ def quant_decode_step(
     return _ln(x, t["final_norm"]["gamma"]), cache
 
 
-def pack_kv_cache(cache: Dict[str, jnp.ndarray], int8: bool):
+def pack_kv_cache(
+    cache: Dict[str, jnp.ndarray], int8: bool, cache_dtype: Optional[Any] = None
+):
     """Convert the prefit separate-K/V cache to the flash kernel's packed
     layout (ops/decode_attention.py): kv [depth, b, N, 2d] with K in lanes
-    0:d, V in d:2d; int8 mode adds per-row scales [depth, 2, b, N]."""
+    0:d, V in d:2d; int8 mode adds per-row scales [depth, 2, b, N].
+    ``cache_dtype`` overrides the resident row dtype for the non-int8 modes
+    (flash_kv="f32" keeps full-precision rows: 2x the bytes of bf16 but no
+    row-rounding of the softmax inputs — the r4 deviation ladder showed the
+    fine stage's 36% per-step mismatch comes from cache-row precision, not
+    int8 weights)."""
     kv = jnp.concatenate([cache["k"], cache["v"]], axis=-1)
+    if cache_dtype is not None:
+        kv = kv.astype(cache_dtype)
     out = {"ff": cache["ff"], "mask": cache["mask"]}
     if int8:
         d = cache["k"].shape[-1]
@@ -327,7 +336,7 @@ def generate_quantized(
     use_pallas: Optional[bool] = None,
     fused_ff: bool = True,
     per_row_keys: Optional[jnp.ndarray] = None,
-    flash_kv: Optional[str] = None,  # None | "bf16" | "int8" | "fused"
+    flash_kv: Optional[str] = None,  # None | "bf16" | "f32" | "int8" | "fused"
     approx_topk: Optional[bool] = None,
     teacher_ids: Optional[jnp.ndarray] = None,  # see token_cond.generate
     return_logits: bool = False,  # see token_cond.generate
@@ -338,9 +347,14 @@ def generate_quantized(
 
     ``flash_kv`` switches attention-over-cache to the packed-KV flash-decode
     kernel (ops/decode_attention.py): early exit at ``pos``, one DMA per
-    256-row chunk, optionally int8 cache rows ("int8" mode). "fused" runs
-    the whole layer (attention + conv-FF, all weights int8) as ONE launch
-    per layer (ops/fused_layer.py)."""
+    256-row chunk, with bf16 ("bf16"), f32 ("f32") or int8 ("int8") cache
+    rows. "fused" runs the whole layer (attention + conv-FF, all weights
+    int8) as ONE launch per layer (ops/fused_layer.py)."""
+    if flash_kv not in (None, "bf16", "f32", "int8", "fused"):
+        raise ValueError(
+            f"unknown flash_kv mode {flash_kv!r}: expected None, 'bf16', "
+            "'f32', 'int8' or 'fused'"
+        )
     specs = model.specs
     pred_spec = specs[-1]
     q_num = pred_spec.num_quantizers
@@ -411,7 +425,11 @@ def generate_quantized(
     h_all, cache = model.apply(params, x, cache, method=_tfm_prefill)
     h_last = h_all[:, -1]
     if flash_kv:
-        cache = pack_kv_cache(cache, int8=flash_kv in ("int8", "fused"))
+        cache = pack_kv_cache(
+            cache,
+            int8=flash_kv in ("int8", "fused"),
+            cache_dtype=jnp.float32 if flash_kv == "f32" else None,
+        )
         add_mask = jnp.where(cache["mask"], 0.0, NEG_INF).astype(jnp.float32)
         if table is None:
             table = jnp.zeros((2 * alloc_len - 1, model.heads), jnp.float32)

@@ -182,9 +182,12 @@ class Stage:
 
     ``quantized=True`` switches generation to the int8 weight-only decode
     path (models/quant_decode.py) — ~2x smaller weight working set; see the
-    measured-perf note there. ``flash_kv`` (None | "bf16" | "int8", default
-    from $OPEN_MUSICLM_FLASH_KV) additionally routes attention-over-cache
-    through the early-exit flash-decode kernel (ops/decode_attention.py)."""
+    measured-perf note there. ``flash_kv`` (None | "bf16" | "f32" | "int8"
+    | "fused", default from $OPEN_MUSICLM_FLASH_KV) additionally routes
+    attention-over-cache through the early-exit flash-decode kernel
+    (ops/decode_attention.py); the mode picks the resident cache-row dtype
+    ("f32" trades 2x row bytes for fp-exact softmax inputs — the lowest-
+    deviation kernel mode, see PARITY.md)."""
 
     model: TokenConditionedTransformer
     params: Any
@@ -264,7 +267,11 @@ class Stage:
             raise ValueError(
                 f"flash_kv={self.flash_kv!r} requires quantized=True: the "
                 "flash decode kernel is part of the int8 serving scan and "
-                "would be silently ignored on the fp path"
+                "would be silently ignored on the fp path. Either construct "
+                "the stage with quantized=True (serving stack) or unset "
+                "$OPEN_MUSICLM_FLASH_KV / pass flash_kv=None for "
+                "full-precision generation. (Before r4 this combination "
+                "silently generated on the fp path.)"
             )
         if self.quantized:
             fn = _jitted_generate_quantized(

@@ -32,6 +32,26 @@ from ..ops.attention import l2norm, shared_kv_attention, shared_kv_decode_step
 from ..ops.relpos import make_bias
 
 
+_dropout_warned = False
+
+
+def _warn_dropout_disabled_once() -> None:
+    """OPEN_MUSICLM_DISABLE_DROPOUT is a bench/A-B knob read at trace time;
+    if it leaks into a real training launch the run silently trains
+    unregularized — make that loudly visible once (ADVICE r4)."""
+    global _dropout_warned
+    if not _dropout_warned:
+        _dropout_warned = True
+        import warnings
+
+        warnings.warn(
+            "OPEN_MUSICLM_DISABLE_DROPOUT=1: ALL dropout layers are identity "
+            "for this process. This is a benchmarking knob — unset it for "
+            "real training runs.",
+            stacklevel=3,
+        )
+
+
 def _dropout(u: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
     """Inverted dropout. nn.Dropout is a submodule and cannot be constructed
     inside a setup()-style __call__ (flax AssignSubModuleError); it holds no
@@ -42,6 +62,7 @@ def _dropout(u: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
     bench_train --ab_env runs (the FF mask alone is ~50M draws per layer
     per microbatch at the training geometries)."""
     if os.environ.get("OPEN_MUSICLM_DISABLE_DROPOUT") == "1":
+        _warn_dropout_disabled_once()
         return u
     from ..ops.fastrand import fast_bernoulli
 

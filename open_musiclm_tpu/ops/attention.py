@@ -95,7 +95,17 @@ def shared_kv_decode_step(
     """
     b, h, d = q_t.shape
     N = k_cache.shape[1]
-    sim = jnp.einsum("bhd,bnd->bhn", q_t, k_cache) * scale
+    # f32 scores + softmax: the step is cache-bandwidth-bound so the upcast
+    # is free, and it matches the flash-decode kernel's online-softmax
+    # precision (ops/decode_attention.py) — with bf16 scores the fp path
+    # itself was the least-precise decode variant, which the r4 deviation
+    # ladder misread as "flash-KV deviation" (.lanes/deviation_r4.json)
+    sim = (
+        jnp.einsum(
+            "bhd,bnd->bhn", q_t, k_cache, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
 
     j = jnp.arange(N)
     if bias_table is not None:
@@ -110,5 +120,7 @@ def shared_kv_decode_step(
         sim = jnp.where(key_mask[:, None, :], sim, NEG_INF)
 
     attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhn,bnd->bhd", attn, v_cache)
-    return out.reshape(b, h * d)
+    out = jnp.einsum(
+        "bhn,bnd->bhd", attn, v_cache, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, h * d).astype(q_t.dtype)

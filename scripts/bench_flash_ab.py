@@ -32,7 +32,7 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seconds", type=float, default=4)
     p.add_argument("--reps", type=int, default=4)
-    p.add_argument("--modes", default="off,bf16,int8")
+    p.add_argument("--modes", default="off,bf16,f32,int8")
     args = p.parse_args()
 
     from open_musiclm_tpu.config import init_stage, load_model_config

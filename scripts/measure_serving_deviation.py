@@ -208,6 +208,10 @@ def main():
         variants = {
             "int8_weights_only": (dict(quantized=True, flash_kv=None), False),
             "int8_w_plus_flash_bf16": (dict(quantized=True, flash_kv="bf16"), False),
+            # f32 cache rows: same kernel (early exit + packed layout), rows
+            # kept full precision — isolates row-storage dtype from the
+            # kernel itself (VERDICT r4 #3)
+            "int8_w_plus_flash_f32": (dict(quantized=True, flash_kv="f32"), False),
             "int8_w_plus_flash_int8": (dict(quantized=True, flash_kv="int8"), False),
             "approx_topk_only_fp": (dict(), True),
             "full_stack": (dict(quantized=True, flash_kv="int8"), approx),

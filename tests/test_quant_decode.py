@@ -169,12 +169,12 @@ def test_musiclm_with_quantized_stages():
     assert wave.ndim == 2 and np.isfinite(np.asarray(wave)).all()
 
 
-@pytest.mark.parametrize("mode", ["bf16", "int8"])
+@pytest.mark.parametrize("mode", ["bf16", "f32", "int8"])
 def test_generate_flash_kv_matches_quantized(mode):
     """flash_kv decode (packed early-exit cache, XLA fallback on CPU) must
-    agree with the plain quantized path at temperature 0 — exactly for bf16
-    packing (same math over the same f32 cache values), on most tokens for
-    int8 cache rows (lossy)."""
+    agree with the plain quantized path at temperature 0 — exactly for
+    bf16/f32 packing (same math over the same f32 cache values), on most
+    tokens for int8 cache rows (lossy)."""
     model = make_model()
     ids = [jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 8), jnp.int32)]
     params = model.init(jax.random.PRNGKey(0), ids)
@@ -196,7 +196,7 @@ def test_generate_flash_kv_matches_quantized(mode):
     )
     assert flash.shape == base.shape
     agreement = (flash == base).mean()
-    if mode == "bf16":
+    if mode in ("bf16", "f32"):
         assert agreement == 1.0, agreement
     else:
         assert agreement > 0.5, agreement
