@@ -98,12 +98,33 @@ class MusicLM:
     serving_mesh: Any = None
 
     def __post_init__(self):
-        self._decode = jax.jit(
+        self._decode_jit = jax.jit(
             lambda p, c: self.codec.apply(p, c, method=EncodecModel.decode)
         )
         self._encode = jax.jit(
             lambda p, w: self.codec.apply(p, w, method=EncodecModel.encode)
         )
+
+    def _decode(self, params, codes: jnp.ndarray) -> jnp.ndarray:
+        """Encodec decode with the batch chunked to cap HBM: the decoder's
+        late layers materialize [rows, samples, 32ch] bf16 activations whose
+        32-lane channel dim pads 4x on TPU — an unchunked 32-row x 48 s
+        musiclm_large clip needs 27.5 G (two 11 G buffers,
+        .lanes/large_longform_r5.err). Rows are independent through the
+        whole decoder, so chunking is value-identical.
+        ``$OPEN_MUSICLM_MAX_DECODE_FRAMES`` caps rows*frames per call
+        (default 49152 ≈ 9 G peak at the measured 76 KB/row-frame padded
+        footprint); at most two distinct chunk shapes compile."""
+        cap = int(os.environ.get("OPEN_MUSICLM_MAX_DECODE_FRAMES", "49152"))
+        b, T = codes.shape[0], codes.shape[1]
+        rows = max(1, cap // max(T, 1))
+        if b <= rows:
+            return self._decode_jit(params, codes)
+        outs = [
+            self._decode_jit(params, codes[i : i + rows])
+            for i in range(0, b, rows)
+        ]
+        return jnp.concatenate(outs, axis=0)
 
     def to_pipelined(self, devices: Sequence[Any]) -> "MusicLM":
         """Return a copy with semantic/coarse/fine/codec placed on their own

@@ -163,22 +163,32 @@ class StageTrainer:
 
         def step_fn(state: TrainState, batch: Tuple[jnp.ndarray, ...], rng):
             accum = batch[0].shape[0]
-
-            def micro(carry, inp):
-                grads_acc, loss_acc = carry
-                ids, key = inp
-                loss, grads = jax.value_and_grad(loss_fn)(state.params, ids, key)
-                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), None
-
-            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             keys = jax.random.split(rng, accum)
-            (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), (batch, keys))
-            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+            if accum == 1:
+                # no-scan fast path: a scan of one would still materialize a
+                # full gradient-pytree carry per step (while + dynamic-update-
+                # slice plumbing on the device trace) for zero accumulation.
+                # Same math bitwise: 0 + g == g, g / 1 == g.
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, tuple(b[0] for b in batch), keys[0]
+                )
+            else:
+                def micro(carry, inp):
+                    grads_acc, loss_acc = carry
+                    ids, key = inp
+                    mloss, mgrads = jax.value_and_grad(loss_fn)(state.params, ids, key)
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, mgrads)
+                    return (grads_acc, loss_acc + mloss), None
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), (batch, keys))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                loss = loss_sum / accum
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(new_params, new_opt, state.step + 1)
-            return new_state, loss_sum / accum
+            return new_state, loss
 
         # shardings are inferred from the committed input arrays (params via
         # shard_params, batch via device_put in train_step) so the same step

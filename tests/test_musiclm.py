@@ -154,3 +154,16 @@ def test_generate_shorter_than_coarse_window_raises():
             output_seconds=2,
             coarse_window_seconds=4,
         )
+
+
+def test_codec_decode_batch_chunking_exact(tiny_musiclm, monkeypatch):
+    """The final Encodec decode chunks its batch to cap HBM (an unchunked
+    32-row x 48 s musiclm_large clip needs 27.5 G on a 16 G v5e,
+    .lanes/large_longform_r5.err). Rows are independent through the SEANet
+    decoder, so any cap must reproduce the unchunked waveform exactly."""
+    codes = jax.random.randint(jax.random.PRNGKey(3), (5, 12, 8), 0, 16)
+    full = np.asarray(tiny_musiclm._decode(tiny_musiclm.codec_params, codes))
+    # cap of 2*T forces ceil(5/2) = 3 chunks incl. a ragged tail
+    monkeypatch.setenv("OPEN_MUSICLM_MAX_DECODE_FRAMES", str(2 * codes.shape[1]))
+    chunked = np.asarray(tiny_musiclm._decode(tiny_musiclm.codec_params, codes))
+    np.testing.assert_array_equal(full, chunked)
