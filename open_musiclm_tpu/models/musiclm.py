@@ -106,16 +106,21 @@ class MusicLM:
         )
 
     def _decode(self, params, codes: jnp.ndarray) -> jnp.ndarray:
-        """Encodec decode with the batch chunked to cap HBM: the decoder's
-        late layers materialize [rows, samples, 32ch] bf16 activations whose
-        32-lane channel dim pads 4x on TPU — an unchunked 32-row x 48 s
-        musiclm_large clip needs 27.5 G (two 11 G buffers,
+        """Encodec decode with the batch chunked to cap HBM: XLA lays the
+        decoder's late [rows, samples, 32ch] bf16 activations out with
+        channels on the 128-lane axis and rows on the 8-sublane axis, so
+        each buffer pads to [ceil(rows/8)*8, samples, 128] — a 6.4x
+        expansion at 10 rows (three live 5.49 G temps for a 60 s clip,
+        .lanes/large_longform_r5c.err; 32 unchunked rows needed 27.5 G,
         .lanes/large_longform_r5.err). Rows are independent through the
         whole decoder, so chunking is value-identical.
-        ``$OPEN_MUSICLM_MAX_DECODE_FRAMES`` caps rows*frames per call
-        (default 49152 ≈ 9 G peak at the measured 76 KB/row-frame padded
-        footprint); at most two distinct chunk shapes compile."""
-        cap = int(os.environ.get("OPEN_MUSICLM_MAX_DECODE_FRAMES", "49152"))
+        ``$OPEN_MUSICLM_MAX_DECODE_FRAMES`` caps rows*frames per call.
+        The default 36000 puts a 60 s (4500-frame) clip at exactly the
+        8-row sublane quantum — three 2.95 G padded temps ≈ 9 G peak —
+        while short clips (750 frames = 10 s) keep batch 32+ in one call
+        (proven green, .lanes/large_longform_r5.out). At most two distinct
+        chunk shapes compile."""
+        cap = int(os.environ.get("OPEN_MUSICLM_MAX_DECODE_FRAMES", "36000"))
         b, T = codes.shape[0], codes.shape[1]
         rows = max(1, cap // max(T, 1))
         if b <= rows:
