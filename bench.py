@@ -37,10 +37,11 @@ def main():
     from open_musiclm_tpu.models.encodec import create_encodec_24khz, EncodecModel
     from open_musiclm_tpu.models.musiclm import MusicLM
 
-    # batch 64 measured best on one v5e chip with the flash int8 KV cache:
-    # 181x vs 160x at 32 and 151x at 128 (decode weight reads amortize with
-    # batch until the per-row cache traffic takes over)
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 128 measured best on one v5e chip with the flash int8 KV cache
+    # (r5 interleaved sweep, .lanes/batch_sweep_r5.out): 32 -> 167x,
+    # 64 -> 191x, 128 -> 209x, 192 -> 170x. int8 cache rows halved the
+    # per-row KV traffic that used to cap the peak at 64 (r2: 128 -> 151x)
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     # approx_max_k top-k cutoff: +6% end-to-end, serving-mode numerics like
     # the int8 paths (core/sampling.py)
     if os.environ.get("BENCH_APPROX_TOPK", "1") == "1":

@@ -101,6 +101,12 @@ class MusicLM:
         self._decode_jit = jax.jit(
             lambda p, c: self.codec.apply(p, c, method=EncodecModel.decode)
         )
+        self._decode_stem_jit = jax.jit(
+            lambda p, c: self.codec.apply(p, c, method=EncodecModel.decode_stem)
+        )
+        self._decode_head_jit = jax.jit(
+            lambda p, h: self.codec.apply(p, h, method=EncodecModel.decode_head)
+        )
         self._encode = jax.jit(
             lambda p, w: self.codec.apply(p, w, method=EncodecModel.encode)
         )
@@ -125,8 +131,18 @@ class MusicLM:
         rows = max(1, cap // max(T, 1))
         if b <= rows:
             return self._decode_jit(params, codes)
+        # Chunked path: run the decoder STEM (dequantize + conv_in + 2-layer
+        # LSTM at 75 Hz) once for the whole batch — its [b, T, 512] state is
+        # tiny, but its lax.scan is sequential in T, and the old
+        # decode-per-chunk path re-paid those 2*T scan steps per chunk
+        # (measured: long-form Encodec decode ran 4x slower per audio-second
+        # than short-clip, .lanes/pipelined_ab_r5.out). Only the
+        # row-independent upsampling HEAD is chunked for HBM.
+        if rows > 8:
+            rows -= rows % 8  # keep chunks on the 8-sublane quantum
+        h = self._decode_stem_jit(params, codes)
         outs = [
-            self._decode_jit(params, codes[i : i + rows])
+            self._decode_head_jit(params, h[i : i + rows])
             for i in range(0, b, rows)
         ]
         return jnp.concatenate(outs, axis=0)

@@ -167,3 +167,18 @@ def test_codec_decode_batch_chunking_exact(tiny_musiclm, monkeypatch):
     monkeypatch.setenv("OPEN_MUSICLM_MAX_DECODE_FRAMES", str(2 * codes.shape[1]))
     chunked = np.asarray(tiny_musiclm._decode(tiny_musiclm.codec_params, codes))
     np.testing.assert_array_equal(full, chunked)
+
+
+def test_codec_decode_stem_head_split_exact(tiny_musiclm):
+    """decode == decode_head(decode_stem(codes)): the chunked _decode path
+    runs the sequential LSTM stem once for the whole batch and chunks only
+    the row-independent upsampling head, so the split must reproduce the
+    monolithic decode exactly."""
+    from open_musiclm_tpu.models.encodec import EncodecModel
+
+    codec, params = tiny_musiclm.codec, tiny_musiclm.codec_params
+    codes = jax.random.randint(jax.random.PRNGKey(9), (3, 12, 8), 0, 16)
+    mono = codec.apply(params, codes, method=EncodecModel.decode)
+    h = codec.apply(params, codes, method=EncodecModel.decode_stem)
+    split = codec.apply(params, h, method=EncodecModel.decode_head)
+    np.testing.assert_array_equal(np.asarray(mono), np.asarray(split))
